@@ -1,0 +1,167 @@
+"""FlatIndex: immutable flat-array index of a sequence graph.
+
+This is the framework's xg equivalent (reference: src/xg.cpp / src/xg.hpp,
+the vendored succinct index).  Instead of SDSL succinct vectors we use plain
+numpy arrays — replicated per host and directly exportable as device buffers.
+Provides exactly the query surface the pipeline uses:
+
+  * node length / sequence / pangenome vector offset
+    (reference: xg node_vector_offset, src/xg.hpp:640-641)
+  * per-path step vectors + step positions (reference: XGPath, src/xg.hpp:536-580)
+  * node -> (path, step rank) membership CSR
+    (reference: index_node_to_path, src/xg.cpp:1408-1521)
+  * edge adjacency per node side (reference: g_iv edge records, src/xg.cpp:948-1019)
+
+Node ids are dense 1..N in rank (sort) order; handles are (id << 1 | rev).
+A step is identified as (path_id, rank); path ranges are (path_id, begin_rank,
+end_rank) with end exclusive.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .mutable import MutableGraph, hid, hrev, handle
+from ..utils.dna import revcomp_bytes
+
+
+class FlatIndex:
+    def __init__(self, g: MutableGraph):
+        ids = list(g.node_ids())
+        n = len(ids)
+        # require dense 1..N ids in storage order (call compact() first)
+        if ids != list(range(1, n + 1)):
+            g = g.compact()
+            ids = list(range(1, n + 1))
+        self.n_nodes = n
+        self.node_len = np.array([len(g.seqs[i]) for i in ids], dtype=np.int64)
+        self.node_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(self.node_len, out=self.node_off[1:])
+        seq_cat = "".join(g.seqs[i] for i in ids)
+        self.seq = np.frombuffer(seq_cat.encode(), dtype=np.uint8)
+
+        # adjacency: per handle side, lists of neighbor handles
+        right: list[list[int]] = [[] for _ in range(2 * (n + 1))]
+        left: list[list[int]] = [[] for _ in range(2 * (n + 1))]
+        self._edge_list: list[tuple[int, int]] = []
+        for a, b in g.edges():
+            self._edge_list.append((a, b))
+            right[a].append(b)
+            left[b].append(a)
+            # mirrored traversal
+            fa, fb = b ^ 1, a ^ 1
+            if (fa, fb) != (a, b):
+                right[fa].append(fb)
+                left[fb].append(fa)
+        self._right = right
+        self._left = left
+
+        # paths
+        self.path_names = list(g.path_names)
+        self._name2path = {nm: i for i, nm in enumerate(self.path_names)}
+        self.path_steps: list[np.ndarray] = []
+        self.path_pos: list[np.ndarray] = []   # pos[rank] = start offset of step
+        for steps in g.path_steps:
+            arr = np.array(steps, dtype=np.int64)
+            lens = self.node_len[(arr >> 1) - 1] if len(arr) else np.zeros(0, np.int64)
+            pos = np.zeros(len(arr) + 1, dtype=np.int64)
+            np.cumsum(lens, out=pos[1:])
+            self.path_steps.append(arr)
+            self.path_pos.append(pos)
+        self.path_len = np.array([int(p[-1]) if len(p) else 0 for p in self.path_pos],
+                                 dtype=np.int64)
+
+        # node -> steps CSR (reference: np_iv/nr_iv/nx_iv, src/xg.cpp:1408-1521)
+        counts = np.zeros(n + 1, dtype=np.int64)
+        for arr in self.path_steps:
+            if len(arr):
+                np.add.at(counts, (arr >> 1) - 1, 1)
+        self.node_steps_start = np.zeros(n + 2, dtype=np.int64)
+        np.cumsum(counts, out=self.node_steps_start[1:])
+        total = int(self.node_steps_start[n])
+        self.step_path = np.zeros(total, dtype=np.int32)
+        self.step_rank = np.zeros(total, dtype=np.int64)
+        cursor = self.node_steps_start[:-1].copy()
+        for pid, arr in enumerate(self.path_steps):
+            nodes = (arr >> 1) - 1
+            for rank, nd in enumerate(nodes):
+                c = cursor[nd]
+                self.step_path[c] = pid
+                self.step_rank[c] = rank
+                cursor[nd] = c + 1
+
+    # ---- node queries ----
+    def get_length(self, h: int) -> int:
+        return int(self.node_len[(h >> 1) - 1])
+
+    def node_length(self, node_id: int) -> int:
+        return int(self.node_len[node_id - 1])
+
+    def get_sequence(self, h: int) -> str:
+        i = (h >> 1) - 1
+        s = self.seq[self.node_off[i]:self.node_off[i + 1]]
+        if h & 1:
+            s = revcomp_bytes(s)
+        return s.tobytes().decode()
+
+    def get_sequence_bytes(self, h: int) -> np.ndarray:
+        i = (h >> 1) - 1
+        s = self.seq[self.node_off[i]:self.node_off[i + 1]]
+        return revcomp_bytes(s) if h & 1 else s
+
+    def node_vector_offset(self, node_id: int) -> int:
+        return int(self.node_off[node_id - 1])
+
+    # ---- edges ----
+    def follow_right(self, h: int) -> list[int]:
+        return self._right[h] if h < len(self._right) else []
+
+    def follow_left(self, h: int) -> list[int]:
+        return self._left[h] if h < len(self._left) else []
+
+    def edges(self):
+        return iter(self._edge_list)
+
+    # ---- paths ----
+    def path_count(self) -> int:
+        return len(self.path_names)
+
+    def get_path_name(self, pid: int) -> str:
+        return self.path_names[pid]
+
+    def has_path(self, name: str) -> bool:
+        return name in self._name2path
+
+    def get_path(self, name: str) -> int:
+        return self._name2path[name]
+
+    def get_path_length(self, pid: int) -> int:
+        return int(self.path_len[pid])
+
+    def step_count(self, pid: int) -> int:
+        return len(self.path_steps[pid])
+
+    def step_handle(self, pid: int, rank: int) -> int:
+        return int(self.path_steps[pid][rank])
+
+    def step_position(self, pid: int, rank: int) -> int:
+        return int(self.path_pos[pid][rank])
+
+    def steps_on_node(self, node_id: int) -> list[tuple[int, int]]:
+        a = self.node_steps_start[node_id - 1]
+        b = self.node_steps_start[node_id]
+        return [(int(self.step_path[i]), int(self.step_rank[i])) for i in range(a, b)]
+
+    def node_depth(self, node_id: int) -> int:
+        return int(self.node_steps_start[node_id] - self.node_steps_start[node_id - 1])
+
+    # ---- range helpers ----
+    def range_seq(self, pid: int, begin: int, end: int) -> str:
+        """Concatenated sequence of steps [begin, end) of path pid."""
+        parts = [self.get_sequence(int(h)) for h in self.path_steps[pid][begin:end]]
+        return "".join(parts)
+
+    def range_len(self, pid: int, begin: int, end: int) -> int:
+        return int(self.path_pos[pid][end] - self.path_pos[pid][begin])
+
+    def path_seq(self, pid: int) -> str:
+        return self.range_seq(pid, 0, len(self.path_steps[pid]))

@@ -1,0 +1,495 @@
+"""MutableGraph: a compact host-side bidirected sequence graph with paths.
+
+This is the framework's replacement for the reference's odgi::graph_t
+dynamic graph (reference: deps/odgi, used from src/prep.cpp:102-144,
+src/smooth.cpp:538-550, src/main.cpp:1011).  It supports exactly the surface
+the smoothing pipeline needs:
+
+  * create_handle / create_edge / destroy_handle / destroy_edge
+  * path creation and step appends
+  * chop (split nodes longer than k; reference: odgi chop via src/prep.cpp:144)
+  * unchop (merge unary non-branching runs; reference: odgi unchop via
+    src/main.cpp:1011, src/smooth.cpp:538)
+  * topological_order + groom + apply_ordering (reference: src/prep.cpp:132-140)
+
+Representation: handles are ints (node_id << 1 | is_reverse); node ids are
+dense 1-based ints; edges connect node *sides* (node_id << 1 | end) where
+end==1 is the right/forward-out side.  All transforms that renumber return a
+new graph so that downstream flat indexing is deterministic.
+"""
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+
+from ..utils.dna import revcomp
+
+
+# ---- handle helpers -------------------------------------------------------
+
+def handle_fwd(node_id: int) -> int:
+    return node_id << 1
+
+
+def handle(node_id: int, is_rev: bool) -> int:
+    return (node_id << 1) | int(is_rev)
+
+
+def flip(h: int) -> int:
+    return h ^ 1
+
+
+def hid(h: int) -> int:
+    return h >> 1
+
+
+def hrev(h: int) -> bool:
+    return bool(h & 1)
+
+
+# A side is (node_id << 1 | end); end 1 = right side (forward exit),
+# end 0 = left side (forward entry).
+
+def out_side(h: int) -> int:
+    # side you exit from when traversing h
+    return (h >> 1 << 1) | (0 if h & 1 else 1)
+
+
+def in_side(h: int) -> int:
+    # side you enter through when traversing h
+    return (h >> 1 << 1) | (1 if h & 1 else 0)
+
+
+def side_to_handle_entering(side: int) -> int:
+    """Handle that *enters* through `side` (used when following right)."""
+    # entering through left side (end=0) -> forward; through right -> reverse
+    return (side >> 1 << 1) | (1 if side & 1 else 0)
+
+
+def side_to_handle_exiting(side: int) -> int:
+    """Handle that *exits* through `side` (used when following left)."""
+    return (side >> 1 << 1) | (0 if side & 1 else 1)
+
+
+class MutableGraph:
+    def __init__(self) -> None:
+        self.seqs: dict[int, str] = {}          # node_id -> forward sequence
+        self.adj: dict[int, list[int]] = {}     # side -> [sides]
+        self.path_names: list[str] = []
+        self.path_steps: list[list[int]] = []   # path_id -> [handles]
+        self._name2path: dict[str, int] = {}
+        self._next_id = 1
+        self._order: list[int] = []             # node ids in storage order
+
+    # ---- nodes ----
+    def create_handle(self, seq: str, node_id: int | None = None) -> int:
+        if node_id is None:
+            node_id = self._next_id
+        if node_id in self.seqs:
+            raise ValueError(f"node {node_id} already exists")
+        self.seqs[node_id] = seq
+        self._order.append(node_id)
+        if node_id >= self._next_id:
+            self._next_id = node_id + 1
+        return handle_fwd(node_id)
+
+    def has_node(self, node_id: int) -> bool:
+        return node_id in self.seqs
+
+    def get_handle(self, node_id: int, is_rev: bool = False) -> int:
+        return handle(node_id, is_rev)
+
+    def get_sequence(self, h: int) -> str:
+        s = self.seqs[hid(h)]
+        return revcomp(s) if hrev(h) else s
+
+    def get_length(self, h: int) -> int:
+        return len(self.seqs[hid(h)])
+
+    def node_count(self) -> int:
+        return len(self.seqs)
+
+    def node_ids(self) -> Iterable[int]:
+        """Node ids in storage order (skipping destroyed)."""
+        return (n for n in self._order if n in self.seqs)
+
+    def destroy_handle(self, h: int) -> None:
+        n = hid(h)
+        for side in (n << 1, (n << 1) | 1):
+            for other in self.adj.get(side, []):
+                if other != side:
+                    lst = self.adj.get(other)
+                    if lst is not None:
+                        self.adj[other] = [s for s in lst if s != side]
+            self.adj.pop(side, None)
+        del self.seqs[n]
+
+    # ---- edges ----
+    def create_edge(self, a: int, b: int) -> None:
+        sa, sb = out_side(a), in_side(b)
+        lst = self.adj.setdefault(sa, [])
+        if sb in lst:
+            return
+        lst.append(sb)
+        if sa != sb:
+            self.adj.setdefault(sb, []).append(sa)
+        else:
+            pass  # self side loop recorded once
+
+    def has_edge(self, a: int, b: int) -> bool:
+        return in_side(b) in self.adj.get(out_side(a), ())
+
+    def destroy_edge(self, a: int, b: int) -> None:
+        sa, sb = out_side(a), in_side(b)
+        if sa in self.adj:
+            self.adj[sa] = [s for s in self.adj[sa] if s != sb]
+        if sb in self.adj and sa != sb:
+            self.adj[sb] = [s for s in self.adj[sb] if s != sa]
+
+    def edges(self) -> Iterable[tuple[int, int]]:
+        """Yield canonical edges as (handle_from, handle_to)."""
+        seen = set()
+        for sa, lst in self.adj.items():
+            for sb in lst:
+                key = (sa, sb) if sa <= sb else (sb, sa)
+                if key in seen:
+                    continue
+                seen.add(key)
+                a = side_to_handle_exiting(key[0])
+                b = side_to_handle_entering(key[1])
+                yield (a, b)
+
+    def edge_count(self) -> int:
+        n = 0
+        for _ in self.edges():
+            n += 1
+        return n
+
+    def follow_right(self, h: int) -> list[int]:
+        return [side_to_handle_entering(s) for s in self.adj.get(out_side(h), ())]
+
+    def follow_left(self, h: int) -> list[int]:
+        return [side_to_handle_exiting(s) for s in self.adj.get(in_side(h), ())]
+
+    def degree_right(self, h: int) -> int:
+        return len(self.adj.get(out_side(h), ()))
+
+    def degree_left(self, h: int) -> int:
+        return len(self.adj.get(in_side(h), ()))
+
+    # ---- paths ----
+    def create_path(self, name: str) -> int:
+        if name in self._name2path:
+            raise ValueError(f"path {name} already exists")
+        pid = len(self.path_names)
+        self.path_names.append(name)
+        self.path_steps.append([])
+        self._name2path[name] = pid
+        return pid
+
+    def has_path(self, name: str) -> bool:
+        return name in self._name2path
+
+    def get_path(self, name: str) -> int:
+        return self._name2path[name]
+
+    def append_step(self, pid: int, h: int) -> None:
+        self.path_steps[pid].append(h)
+
+    def prepend_step(self, pid: int, h: int) -> None:
+        self.path_steps[pid].insert(0, h)
+
+    def path_count(self) -> int:
+        return len(self.path_names)
+
+    def path_seq(self, pid: int) -> str:
+        return "".join(self.get_sequence(h) for h in self.path_steps[pid])
+
+    def path_len(self, pid: int) -> int:
+        return sum(self.get_length(h) for h in self.path_steps[pid])
+
+    # ---- derived ----
+    def total_seq_len(self) -> int:
+        return sum(len(s) for s in self.seqs.values())
+
+    def create_edges_from_paths(self) -> None:
+        """Ensure every path adjacency exists as an edge
+        (reference: src/main.cpp:986-1008)."""
+        for steps in self.path_steps:
+            for a, b in zip(steps, steps[1:]):
+                self.create_edge(a, b)
+
+    def steps_index(self) -> dict[int, list[tuple[int, int]]]:
+        """node_id -> [(path_id, step_rank)] over all paths."""
+        idx: dict[int, list[tuple[int, int]]] = {}
+        for pid, steps in enumerate(self.path_steps):
+            for rank, h in enumerate(steps):
+                idx.setdefault(hid(h), []).append((pid, rank))
+        return idx
+
+    # ---- transforms (return new graphs, ids renumbered 1..N) ----
+
+    def compact(self, order: list[int] | None = None,
+                flips: set[int] | None = None) -> "MutableGraph":
+        """Rebuild with nodes renumbered 1..N following `order` (node ids),
+        flipping the orientation of nodes in `flips`.
+        Equivalent to odgi apply_ordering (reference: src/prep.cpp:128-139)."""
+        if order is None:
+            order = [n for n in self._order if n in self.seqs]
+        flips = flips or set()
+        g = MutableGraph()
+        remap: dict[int, int] = {}
+        for new_id, old_id in enumerate(order, start=1):
+            seq = self.seqs[old_id]
+            if old_id in flips:
+                seq = revcomp(seq)
+            g.create_handle(seq, new_id)
+            remap[old_id] = new_id
+
+        def remap_handle(h: int) -> int:
+            n, r = hid(h), hrev(h)
+            if n in flips:
+                r = not r
+            return handle(remap[n], r)
+
+        for a, b in self.edges():
+            g.create_edge(remap_handle(a), remap_handle(b))
+        for name, steps in zip(self.path_names, self.path_steps):
+            pid = g.create_path(name)
+            g.path_steps[pid] = [remap_handle(h) for h in steps]
+        return g
+
+    def chop(self, max_len: int) -> "MutableGraph":
+        """Split nodes longer than max_len into consecutive <=max_len pieces,
+        preserving node order (reference: odgi chop, src/prep.cpp:142-144)."""
+        g = MutableGraph()
+        # node_id -> list of piece handles (forward orientation)
+        pieces: dict[int, list[int]] = {}
+        for n in self.node_ids():
+            seq = self.seqs[n]
+            ph = []
+            for i in range(0, max(len(seq), 1), max_len):
+                ph.append(g.create_handle(seq[i:i + max_len]))
+            pieces[n] = ph
+            for a, b in zip(ph, ph[1:]):
+                g.create_edge(a, b)
+
+        def map_handle(h: int) -> list[int]:
+            ph = pieces[hid(h)]
+            if hrev(h):
+                return [flip(x) for x in reversed(ph)]
+            return list(ph)
+
+        for a, b in self.edges():
+            g.create_edge(map_handle(a)[-1], map_handle(b)[0])
+        for name, steps in zip(self.path_names, self.path_steps):
+            pid = g.create_path(name)
+            out = g.path_steps[pid]
+            for h in steps:
+                out.extend(map_handle(h))
+        return g
+
+    def unchop(self) -> "MutableGraph":
+        """Merge maximal non-branching runs of nodes into single nodes,
+        preserving all path sequences exactly
+        (reference: odgi unchop via src/main.cpp:1011, src/smooth.cpp:538).
+
+        Two oriented nodes a -> b are merged iff the right side of a has
+        exactly one edge, to the left side of b, the left side of b has
+        exactly one edge, a != b (as nodes), and every path traversal of a
+        continues into b (and every traversal of b comes from a) — i.e. no
+        path begins or ends between them and no other traversals exist."""
+        steps_at: dict[int, list[tuple[int, int]]] = self.steps_index()
+
+        def linkable(a: int, b: int) -> bool:
+            # a, b oriented handles; structural degree conditions hold already
+            if hid(a) == hid(b):
+                return False
+            # path condition
+            for pid, rank in steps_at.get(hid(a), ()):  # traversals of node(a)
+                h = self.path_steps[pid][rank]
+                if h == a:
+                    nxt = self.path_steps[pid][rank + 1] if rank + 1 < len(self.path_steps[pid]) else None
+                    if nxt != b:
+                        return False
+                elif h == flip(a):
+                    prv = self.path_steps[pid][rank - 1] if rank > 0 else None
+                    if prv != flip(b):
+                        return False
+            for pid, rank in steps_at.get(hid(b), ()):
+                h = self.path_steps[pid][rank]
+                if h == b:
+                    prv = self.path_steps[pid][rank - 1] if rank > 0 else None
+                    if prv != a:
+                        return False
+                elif h == flip(b):
+                    nxt = self.path_steps[pid][rank + 1] if rank + 1 < len(self.path_steps[pid]) else None
+                    if nxt != flip(a):
+                        return False
+            return True
+
+        # find successor for each oriented node where merge is allowed
+        succ: dict[int, int] = {}   # handle -> handle
+        pred: dict[int, int] = {}
+        for n in self.node_ids():
+            for h in (handle_fwd(n), handle_fwd(n) | 1):
+                nbrs = self.follow_right(h)
+                if len(nbrs) != 1:
+                    continue
+                b = nbrs[0]
+                if len(self.follow_left(b)) != 1:
+                    continue
+                if not linkable(h, b):
+                    continue
+                succ[h] = b
+                pred[b] = h
+        # drop conflicting reverse-orientation duplicates: a chain a->b is the
+        # same as flip(b)->flip(a); keep both maps consistent (they are, by
+        # symmetry of the conditions).
+
+        # build chains over forward representative orientation
+        visited_nodes: set[int] = set()
+        chains: list[list[int]] = []
+        for n in self._order:
+            if n not in self.seqs or n in visited_nodes:
+                continue
+            h = handle_fwd(n)
+            # walk left to chain start
+            start = h
+            seen_guard = {hid(start)}
+            while start in pred:
+                p = pred[start]
+                if hid(p) in seen_guard:  # cycle
+                    break
+                start = p
+                seen_guard.add(hid(start))
+            chain = [start]
+            visited_nodes.add(hid(start))
+            cur = start
+            while cur in succ:
+                nxt = succ[cur]
+                if hid(nxt) in visited_nodes:
+                    break
+                chain.append(nxt)
+                visited_nodes.add(hid(nxt))
+                cur = nxt
+            chains.append(chain)
+
+        # merged node per chain; map node -> (chain_idx, pos, oriented_as)
+        g = MutableGraph()
+        chain_of: dict[int, tuple[int, int, int]] = {}
+        new_handle_of_chain: list[int] = []
+        for ci, chain in enumerate(chains):
+            seq = "".join(self.get_sequence(h) for h in chain)
+            nh = g.create_handle(seq)
+            new_handle_of_chain.append(nh)
+            for pos, h in enumerate(chain):
+                chain_of[hid(h)] = (ci, pos, h)
+
+        def map_handle(h: int) -> int:
+            ci, pos, rep = chain_of[hid(h)]
+            nh = new_handle_of_chain[ci]
+            # h equals rep -> same orientation as chain; else flipped
+            return nh if h == rep else flip(nh)
+
+        for a, b in self.edges():
+            ca, pa, ra = chain_of[hid(a)]
+            cb, pb, rb = chain_of[hid(b)]
+            if ca == cb:
+                # internal chain edge (a->b consecutive) vanish
+                if a == ra and b == rb and pb == pa + 1:
+                    continue
+                if flip(a) == ra and flip(b) == rb and pa == pb + 1:
+                    continue
+            # boundary edges only valid if a exits its chain end and b enters
+            # its chain start (in mapped orientation); other edges mid-chain
+            # cannot exist by construction (degree conditions)
+            g.create_edge(map_handle(a), map_handle(b))
+
+        for name, steps in zip(self.path_names, self.path_steps):
+            pid = g.create_path(name)
+            out = g.path_steps[pid]
+            i = 0
+            while i < len(steps):
+                h = steps[i]
+                ci, pos, rep = chain_of[hid(h)]
+                clen = len(chains[ci])
+                out.append(map_handle(h))
+                if clen > 1:
+                    # consume the whole chain traversal
+                    i += clen
+                else:
+                    i += 1
+            g.path_steps[pid] = out
+        return g
+
+    # ---- orderings ----
+
+    def topological_order(self) -> list[int]:
+        """Kahn-style ordering of node ids over the bidirected graph treated
+        as directed by current node orientation; cycles broken by taking the
+        lowest-storage-rank remaining node
+        (reference capability: odgi topological_order, src/prep.cpp:136-140)."""
+        indeg: dict[int, int] = {}
+        alive = [n for n in self._order if n in self.seqs]
+        rank = {n: i for i, n in enumerate(alive)}
+        for n in alive:
+            indeg[n] = len(self.follow_left(handle_fwd(n)))
+        from heapq import heappush, heappop
+        ready: list[int] = []
+        for n in alive:
+            if indeg[n] == 0:
+                heappush(ready, rank[n])
+        order: list[int] = []
+        emitted: set[int] = set()
+        remaining = set(alive)
+        while remaining:
+            if not ready:
+                # cycle: seed with lowest-rank remaining
+                n = min(remaining, key=lambda x: rank[x])
+                heappush(ready, rank[n])
+                indeg[n] = 0
+            r = heappop(ready)
+            n = alive[r]
+            if n in emitted:
+                continue
+            emitted.add(n)
+            remaining.discard(n)
+            order.append(n)
+            for nb in self.follow_right(handle_fwd(n)):
+                m = hid(nb)
+                if m in emitted or m not in remaining:
+                    continue
+                indeg[m] -= 1
+                if indeg[m] <= 0:
+                    heappush(ready, rank[m])
+        return order
+
+    def groom(self) -> tuple[list[int], set[int]]:
+        """BFS from the first node flipping nodes so that most edges are
+        traversed forward (reference capability: odgi groom,
+        src/prep.cpp:131-133). Returns (order, flip_set)."""
+        alive = [n for n in self._order if n in self.seqs]
+        aliveset = set(alive)
+        visited: set[int] = set()
+        flips: set[int] = set()
+        order: list[int] = []
+        from collections import deque
+        for seed in alive:
+            if seed in visited:
+                continue
+            dq = deque([handle_fwd(seed)])
+            visited.add(seed)
+            while dq:
+                h = dq.popleft()
+                n = hid(h)
+                order.append(n)
+                if hrev(h):
+                    flips.add(n)
+                for nb in self.follow_right(h) + [flip(x) for x in self.follow_left(h)]:
+                    m = hid(nb)
+                    if m in aliveset and m not in visited:
+                        visited.add(m)
+                        dq.append(nb)
+        return order, flips
