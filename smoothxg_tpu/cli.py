@@ -1,0 +1,220 @@
+"""Command line interface.
+
+Mirrors the reference's flag surface (reference: src/main.cpp:52-190,
+args.hxx declarations) including magnitude suffixes (5k/1M/2G) and the
+consensus mini-DSL  BASENAME,min_len[:refs[:(y|n)[:min_cov[:max_len]]]]*
+(reference: src/consensus_graph.cpp:36-78).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .pipeline.run import Config, run_smoothing
+from .utils.params import handy_parameter, split_csv
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="smoothxg-tpu",
+        description="TPU-native pangenome graph smoother: collinear block "
+                    "finder and graph consensus generator")
+    g = p.add_argument_group("mandatory")
+    g.add_argument("-g", "--gfa-in", required=True, help="input GFA")
+    g.add_argument("-o", "--smoothed-out", required=True, help="output GFA")
+
+    io = p.add_argument_group("files IO")
+    io.add_argument("-n", "--no-prep", action="store_true")
+    io.add_argument("-b", "--base", default="", help="temp file base dir")
+    io.add_argument("-K", "--keep-temp", action="store_true")
+
+    pr = p.add_argument_group("graph preparation")
+    pr.add_argument("-X", "--chop-to", type=int, default=100)
+    pr.add_argument("-U", "--path-sgd-term-updates", type=float, default=1.0)
+    pr.add_argument("--no-sgd", action="store_true",
+                    help="skip the path-SGD sort during prep (groom+toposort only)")
+
+    bc = p.add_argument_group("block computation")
+    bc.add_argument("-r", "--n-haps", type=int, default=0)
+    bc.add_argument("-w", "--block-weight-max", default=None)
+    bc.add_argument("-j", "--path-jump-max", default="100")
+    bc.add_argument("-e", "--edge-jump-max", default="0")
+
+    cl = p.add_argument_group("copy length")
+    cl.add_argument("-c", "--copy-length-min", default="1000")
+    cl.add_argument("-W", "--copy-length-max", default="20k")
+
+    bs = p.add_argument_group("block splitting")
+    bs.add_argument("-I", "--block-id-min", type=float, default=0.0)
+    bs.add_argument("-R", "--block-ratio-min", type=float, default=0.0)
+    bs.add_argument("-d", "--min-block-depth-split", default="0")
+    bs.add_argument("-D", "--min-block-depth-mash", default="12k")
+    bs.add_argument("-L", "--min-seq-len-mash", default="200")
+    bs.add_argument("-E", "--block-est-id-max", type=float, default=None)
+    bs.add_argument("-k", "--kmer-size-mash-distance", type=int, default=17)
+
+    poa = p.add_argument_group("POA")
+    poa.add_argument("-p", "--poa-params", default="1,4,6,2,26,1")
+    poa.add_argument("-a", "--adaptive-poa-params", action="store_true")
+    poa.add_argument("-l", "--poa-length-targets", default="4000")
+    poa.add_argument("-q", "--poa-length-max", default=None)
+    poa.add_argument("-O", "--poa-padding-ratio", type=float, default=0.001)
+    poa.add_argument("-Y", "--max-block-depth-adaptive-poa-padding", default="1000")
+    poa.add_argument("-A", "--abpoa", action="store_true")
+    poa.add_argument("-Z", "--change-alignment-mode", action="store_true",
+                     help="global alignment instead of local")
+
+    cons = p.add_argument_group("consensus graph(s)")
+    cons.add_argument("-P", "--ref-paths", default="")
+    cons.add_argument("-f", "--write-consensus-path-names", default="")
+    cons.add_argument("-H", "--consensus-from", default="")
+    cons.add_argument("-F", "--smoothed-in", default="")
+    cons.add_argument("-C", "--consensus-spec", default="")
+    cons.add_argument("-Q", "--consensus-prefix", default="Consensus_")
+    cons.add_argument("-V", "--vanish-consensus", action="store_true")
+
+    maf = p.add_argument_group("MAF")
+    maf.add_argument("-m", "--write-msa-in-maf-format", default="")
+
+    mrg = p.add_argument_group("block union")
+    mrg.add_argument("-M", "--merge-blocks", action="store_true")
+    mrg.add_argument("-N", "--preserve-unmerged-consensus", action="store_true")
+    mrg.add_argument("-J", "--contiguous-path-jaccard", type=float, default=1.0)
+    mrg.add_argument("-G", "--max-block-groups-in-memory", type=int, default=50)
+
+    th = p.add_argument_group("threading / engine")
+    th.add_argument("-t", "--threads", type=int, default=1)
+    th.add_argument("-T", "--poa-threads", type=int, default=0)
+    th.add_argument("--engine", choices=["host", "jax"], default="jax",
+                    help="POA engine: batched JAX kernels (default) or the "
+                         "numpy host oracle")
+
+    p.add_argument("-v", "--version", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    import sys as _sys
+    argv = list(_sys.argv[1:]) if argv is None else list(argv)
+    if "-v" in argv or "--version" in argv:
+        from . import __version__
+        print(__version__)
+        return 0
+    args = build_parser().parse_args(argv)
+    if not os.path.exists(args.gfa_in):
+        print(f"[smoothxg_tpu] error: input GFA not found: {args.gfa_in}",
+              file=sys.stderr)
+        return 1
+
+    from .pipeline.consensus_graph import parse_consensus_spec
+
+    specs = []
+    requires_consensus = not args.vanish_consensus
+    if args.consensus_spec:
+        specs, requires_consensus = parse_consensus_spec(
+            args.consensus_spec, requires_consensus)
+
+    if not args.block_weight_max and not args.n_haps:
+        print("[smoothxg_tpu] error: specify -r/--n-haps or -w/--block-weight-max",
+              file=sys.stderr)
+        return 1
+
+    add_consensus = bool(args.write_consensus_path_names) or requires_consensus
+
+    consensus_path_names: list[str] = []
+    if not args.consensus_from:
+        cfg = Config(
+            gfa_in=args.gfa_in,
+            smoothed_out=args.smoothed_out,
+            n_haps=args.n_haps,
+            max_block_weight=(int(handy_parameter(args.block_weight_max))
+                              if args.block_weight_max else None),
+            max_path_jump=int(handy_parameter(args.path_jump_max, 100)),
+            max_edge_jump=int(handy_parameter(args.edge_jump_max, 0)),
+            min_copy_length=int(handy_parameter(args.copy_length_min, 1000)),
+            max_copy_length=int(handy_parameter(args.copy_length_max, 20000)),
+            block_group_identity=args.block_id_min,
+            block_group_est_identity=args.block_est_id_max,
+            block_length_ratio_min=args.block_ratio_min,
+            min_dedup_depth_for_block_splitting=int(
+                handy_parameter(args.min_block_depth_split, 0)),
+            min_dedup_depth_for_mash_clustering=int(
+                handy_parameter(args.min_block_depth_mash, 12000)),
+            min_length_mash_based_clustering=int(
+                handy_parameter(args.min_seq_len_mash, 200)),
+            kmer_size=args.kmer_size_mash_distance,
+            poa_params=_parse_poa_params(args.poa_params, args.abpoa),
+            adaptive_poa_params=args.adaptive_poa_params,
+            poa_length_targets=[int(handy_parameter(x, 4000))
+                                for x in split_csv(args.poa_length_targets)],
+            max_poa_length=(int(handy_parameter(args.poa_length_max))
+                            if args.poa_length_max else None),
+            poa_padding_fraction=args.poa_padding_ratio,
+            max_block_depth_for_padding_more=int(
+                handy_parameter(args.max_block_depth_adaptive_poa_padding, 1000)),
+            use_abpoa=args.abpoa,
+            local_alignment=not args.change_alignment_mode,
+            consensus_path_prefix=args.consensus_prefix,
+            add_consensus=add_consensus,
+            write_msa_in_maf_format=args.write_msa_in_maf_format,
+            merge_blocks=args.merge_blocks,
+            no_prep=args.no_prep,
+            node_chop=args.chop_to,
+            sgd_term_updates=args.path_sgd_term_updates,
+            use_sgd=not args.no_sgd,
+            tmp_base=args.base,
+            keep_temp=args.keep_temp,
+            engine=args.engine,
+        )
+        out, consensus_path_names = run_smoothing(cfg)
+
+        if args.write_consensus_path_names:
+            with open(args.write_consensus_path_names, "w") as f:
+                for nm in consensus_path_names:
+                    f.write(nm + "\n")
+        smoothed_gfa = args.smoothed_out
+    else:
+        if not args.smoothed_in:
+            print("[smoothxg_tpu] error: -H requires -F/--smoothed-in",
+                  file=sys.stderr)
+            return 1
+        smoothed_gfa = args.smoothed_in
+        with open(args.consensus_from) as f:
+            consensus_path_names = [ln.strip() for ln in f if ln.strip()]
+
+    if specs:
+        from .graph.index import FlatIndex
+        from .io.gfa import read_gfa, write_gfa
+        from .pipeline.consensus_graph import create_consensus_graph, displayname
+        smoothed_idx = FlatIndex(read_gfa(smoothed_gfa))
+        for spec in specs:
+            names = []
+            if spec.ref_file:
+                with open(spec.ref_file) as f:
+                    names = [ln.strip() for ln in f if ln.strip()]
+            if spec.keep_consensus_paths:
+                names = consensus_path_names + names
+            outname = displayname(spec) + ".gfa"
+            cg = create_consensus_graph(
+                smoothed_idx, names, spec.min_allele_len, spec.max_allele_len,
+                spec.min_consensus_path_cov)
+            write_gfa(cg, outname)
+    return 0
+
+
+def _parse_poa_params(s: str, use_abpoa: bool) -> tuple:
+    vals = [int(x) for x in s.split(",")]
+    if len(vals) == 6:
+        return tuple(vals)
+    if len(vals) == 4:
+        m, n, g, e = vals
+        # reference: src/main.cpp:348-360
+        if not use_abpoa:
+            return (m, n, g, e, g, e)
+        return (m, n, g, e, 0, 0)
+    raise SystemExit("poa-params must have 4 or 6 values")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

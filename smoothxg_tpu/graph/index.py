@@ -154,6 +154,31 @@ class FlatIndex:
     def node_depth(self, node_id: int) -> int:
         return int(self.node_steps_start[node_id] - self.node_steps_start[node_id - 1])
 
+    # ---- strand accounting ----
+    def rev_bp_in_window(self, pid: int, a: int, b: int) -> tuple[int, int]:
+        """(fwd_bp, rev_bp) of path positions [a, b) by step orientation
+        (used for block strand normalization, reference: src/smooth.cpp:70-128
+        fwd_bp/rev_bp accounting)."""
+        a = max(a, 0)
+        b = min(b, int(self.path_len[pid]))
+        if b <= a:
+            return 0, 0
+        pos = self.path_pos[pid]
+        steps = self.path_steps[pid]
+        lo = int(np.searchsorted(pos, a, side="right")) - 1
+        hi = int(np.searchsorted(pos, b, side="left"))
+        fwd = rev = 0
+        for r in range(lo, hi):
+            s0, s1 = int(pos[r]), int(pos[r + 1])
+            ov = min(b, s1) - max(a, s0)
+            if ov <= 0:
+                continue
+            if int(steps[r]) & 1:
+                rev += ov
+            else:
+                fwd += ov
+        return fwd, rev
+
     # ---- range helpers ----
     def range_seq(self, pid: int, begin: int, end: int) -> str:
         """Concatenated sequence of steps [begin, end) of path pid."""

@@ -1,0 +1,204 @@
+"""Bounded affine wavefront alignment (WFA) with gap-compressed identity.
+
+Equivalent capability to the reference's WFA dependency (reference:
+src/breaks.cpp:186-196,474-502 uses bounded reduced WFA with penalties
+{match 0, mismatch 7, gap_open 11, gap_ext 1} to compute a gap-compressed
+identity for block splitting, bailing out when the score exceeds a bound).
+
+The wavefront recurrences operate per score over diagonals and are fully
+numpy-vectorized across each wavefront.  Traceback over the stored
+wavefronts recovers the alignment classes (M/X/I/D) from which the
+gap-compressed identity (matches / (matches+mismatches+gap_openings)) is
+computed.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+NEG = np.iinfo(np.int32).min // 2
+
+
+class _WF:
+    __slots__ = ("lo", "hi", "m", "i", "d")
+
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+        n = hi - lo + 1
+        self.m = np.full(n, NEG, dtype=np.int64)
+        self.i = np.full(n, NEG, dtype=np.int64)
+        self.d = np.full(n, NEG, dtype=np.int64)
+
+    def get(self, which: str, k: np.ndarray | int) -> np.ndarray:
+        arr = getattr(self, which)
+        idx = np.asarray(k) - self.lo
+        idx = np.asarray(idx)
+        ok = (idx >= 0) & (idx < len(arr))
+        out = np.full(np.shape(idx), NEG, dtype=np.int64)
+        out[ok] = arr[idx[ok]]
+        return out
+
+
+def _extend(m: np.ndarray, ks: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Greedy diagonal extension: m holds offsets (position in a)."""
+    la, lb = len(a), len(b)
+    out = m.copy()
+    for idx in range(len(ks)):
+        off = out[idx]
+        if off <= NEG // 2:
+            continue
+        k = ks[idx]
+        v = off - k  # position in b
+        h = off
+        while h < la and v < lb and a[h] == b[v]:
+            h += 1
+            v += 1
+        out[idx] = h
+    return out
+
+
+def wfa_align(a_str: str | bytes, b_str: str | bytes,
+              mismatch: int = 7, gap_open: int = 11, gap_ext: int = 1,
+              max_score: int | None = None):
+    """Align a vs b with affine-gap WFA. Returns (score, cigar_ops) where
+    cigar_ops is a string over M/X/I/D, or (None, None) if max_score exceeded.
+    Diagonal k = h - v (position in a minus position in b)."""
+    a = np.frombuffer(a_str.encode() if isinstance(a_str, str) else bytes(a_str), np.uint8)
+    b = np.frombuffer(b_str.encode() if isinstance(b_str, str) else bytes(b_str), np.uint8)
+    la, lb = len(a), len(b)
+    k_final = la - lb
+    off_final = la
+    if max_score is None:
+        max_score = mismatch * max(la, lb)
+
+    wfs: dict[int, _WF] = {}
+    w0 = _WF(0, 0)
+    w0.m[0] = 0
+    w0.m[0] = _extend(w0.m[:1], np.array([0]), a, b)[0]
+    wfs[0] = w0
+    if w0.m[0] >= off_final and k_final == 0:
+        return 0, "M" * la
+
+    for s in range(1, max_score + 1):
+        src_x = wfs.get(s - mismatch)
+        src_o = wfs.get(s - gap_open - gap_ext)
+        src_e = wfs.get(s - gap_ext)
+        if src_x is None and src_o is None and src_e is None:
+            continue
+        los, his = [], []
+        for w in (src_x, src_o, src_e):
+            if w is not None:
+                los.append(w.lo)
+                his.append(w.hi)
+        lo, hi = min(los) - 1, max(his) + 1
+        w = _WF(lo, hi)
+        ks = np.arange(lo, hi + 1)
+        # I (insertion in a: h advances) from k-1; D from k+1
+        i_from_m = src_o.get("m", ks - 1) if src_o is not None else np.full(len(ks), NEG)
+        i_from_i = src_e.get("i", ks - 1) if src_e is not None else np.full(len(ks), NEG)
+        w.i = np.maximum(i_from_m, i_from_i) + 1
+        w.i[w.i <= NEG // 2] = NEG
+        d_from_m = src_o.get("m", ks + 1) if src_o is not None else np.full(len(ks), NEG)
+        d_from_d = src_e.get("d", ks + 1) if src_e is not None else np.full(len(ks), NEG)
+        w.d = np.maximum(d_from_m, d_from_d)
+        w.d[w.d <= NEG // 2] = NEG
+        x_from_m = src_x.get("m", ks) if src_x is not None else np.full(len(ks), NEG)
+        xm = x_from_m + 1
+        xm[x_from_m <= NEG // 2] = NEG
+        w.m = np.maximum.reduce([xm, w.i, w.d])
+        # clip to valid cells: h <= la, v = h-k <= lb
+        hs = w.m
+        valid = (hs > NEG // 2) & (hs <= la) & (hs - ks <= lb) & (hs >= 0) & (hs - ks >= 0)
+        w.m = np.where(valid, w.m, NEG)
+        w.m = _extend(w.m, ks, a, b)
+        wfs[s] = w
+        if lo <= k_final <= hi and w.m[k_final - lo] >= off_final:
+            return s, _traceback(wfs, s, k_final, a, b, mismatch, gap_open, gap_ext)
+    return None, None
+
+
+def _traceback(wfs, s, k, a, b, mismatch, gap_open, gap_ext) -> str:
+    ops = []
+    h = len(a)
+    state = "m"
+    while True:
+        w = wfs.get(s)
+        if s == 0 and state == "m":
+            # extend along diagonal 0 to origin
+            while h > 0:
+                ops.append("M")
+                h -= 1
+            break
+        if state == "m":
+            off = w.get("m", k).item() if w is not None else NEG
+            # count matches extended beyond the originating offset
+            src_x = wfs.get(s - mismatch)
+            src = NEG
+            if src_x is not None:
+                src = src_x.get("m", k).item()
+            i_off = w.get("i", k).item() if w is not None else NEG
+            d_off = w.get("d", k).item() if w is not None else NEG
+            # offset before extension:
+            cands = []
+            if src > NEG // 2:
+                cands.append(("x", src + 1))
+            if i_off > NEG // 2:
+                cands.append(("i", i_off))
+            if d_off > NEG // 2:
+                cands.append(("d", d_off))
+            base = max((c[1] for c in cands), default=NEG)
+            while h > base:
+                ops.append("M")
+                h -= 1
+            choice = next(c for c in cands if c[1] == base)
+            if choice[0] == "x":
+                ops.append("X")
+                h -= 1
+                s -= mismatch
+            else:
+                state = choice[0]
+        elif state == "i":
+            ops.append("I")
+            src_o = wfs.get(s - gap_open - gap_ext)
+            src_e = wfs.get(s - gap_ext)
+            from_m = src_o.get("m", k - 1).item() if src_o is not None else NEG
+            from_i = src_e.get("i", k - 1).item() if src_e is not None else NEG
+            h -= 1
+            k -= 1
+            if from_m >= from_i:
+                s -= gap_open + gap_ext
+                state = "m"
+            else:
+                s -= gap_ext
+        else:  # d
+            ops.append("D")
+            src_o = wfs.get(s - gap_open - gap_ext)
+            src_e = wfs.get(s - gap_ext)
+            from_m = src_o.get("m", k + 1).item() if src_o is not None else NEG
+            from_d = src_e.get("d", k + 1).item() if src_e is not None else NEG
+            k += 1
+            if from_m >= from_d:
+                s -= gap_open + gap_ext
+                state = "m"
+            else:
+                s -= gap_ext
+    return "".join(reversed(ops))
+
+
+def gap_compressed_identity(cigar: str) -> float:
+    """matches / (matches + mismatches + gap_openings)
+    (reference: wfa_gap_compressed_identity, src/breaks.cpp:72-102)."""
+    matches = mismatches = indels = 0
+    last_gap = False
+    for c in cigar:
+        if c == "M":
+            matches += 1
+            last_gap = False
+        elif c == "X":
+            mismatches += 1
+            last_gap = False
+        else:
+            if not last_gap:
+                indels += 1
+                last_gap = True
+    denom = matches + mismatches + indels
+    return matches / denom if denom else 0.0

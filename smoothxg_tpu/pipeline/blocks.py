@@ -1,0 +1,232 @@
+"""Collinear block finding.
+
+Reimplements the reference's greedy sweep over sort-ordered handles
+(reference: src/blocks.cpp:7-327) on top of FlatIndex:
+
+  * accumulate handles while block weight / est. per-path length / edge jump
+    stay under bounds (reference: src/blocks.cpp:240-315),
+  * finalize: collect unseen steps on block handles, sort by (path, rank),
+    split ranges on path jumps > max_path_jump and on already-seen steps,
+    mark kept steps seen, order ranges longest-first
+    (reference: finalize_block, src/blocks.cpp:106-230),
+  * split each block into weakly-connected components
+    (reference: toposplit_block, src/blocks.cpp:43-105).
+
+The sweep's seen-step semantics are inherently order-dependent, so this stage
+stays host-serial (it is cheap); the expensive downstream POA over the
+resulting blocks is what gets batched onto the TPU.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..graph.index import FlatIndex
+from ..utils.progress import Log
+
+
+@dataclass
+class PathRange:
+    pid: int
+    begin: int          # step rank, inclusive
+    end: int            # step rank, exclusive
+    length: int = 0
+
+
+@dataclass
+class Block:
+    path_ranges: list[PathRange] = field(default_factory=list)
+
+
+class Blockset:
+    """In-memory ordered block container (reference: blockset_t,
+    src/blocks.hpp:70-120; the mmap spill layer is unnecessary at current
+    scales but the interface keeps ids explicit for determinism)."""
+
+    def __init__(self) -> None:
+        self.blocks: list[Block] = []
+
+    def add_block(self, block: Block) -> None:
+        self.blocks.append(block)
+
+    def __len__(self) -> int:
+        return len(self.blocks)
+
+    def get_block(self, i: int) -> Block:
+        return self.blocks[i]
+
+    def __iter__(self):
+        return iter(self.blocks)
+
+
+def smoothable_blocks(
+    idx: FlatIndex,
+    max_block_weight: int,
+    max_block_path_length: int,
+    max_path_jump: int,
+    max_edge_jump: int,
+    order_paths_from_longest: bool = True,
+) -> Blockset:
+    blockset = Blockset()
+    n_paths = idx.path_count()
+    seen = [np.zeros(idx.step_count(p), dtype=bool) for p in range(n_paths)]
+    node_len = idx.node_len
+    node_off = idx.node_off
+    step_path = idx.step_path
+    step_rank = idx.step_rank
+    node_steps_start = idx.node_steps_start
+
+    block_handles: list[int] = []        # node ids
+    total_path_length = 0
+    path_coverage: dict[int, list[int]] = {}   # pid -> [bp, n_steps]
+
+    def node_steps(node_id: int):
+        a, b = node_steps_start[node_id - 1], node_steps_start[node_id]
+        for i in range(a, b):
+            yield int(step_path[i]), int(step_rank[i])
+
+    def finalize_block() -> None:
+        nonlocal block_handles
+        # collect unseen traversals on block handles
+        traversals: list[tuple[int, int]] = []
+        for nid in block_handles:
+            for pid, rank in node_steps(nid):
+                if not seen[pid][rank]:
+                    traversals.append((pid, rank))
+        block_handles = []
+        traversals.sort()
+
+        # pass 1: split on path change / positional jump
+        ranges: list[list[int]] = []   # [pid, begin_rank, last_rank]
+        for pid, rank in traversals:
+            if ranges:
+                lpid, lbegin, llast = ranges[-1]
+                if lpid == pid:
+                    gap = (idx.path_pos[pid][rank]
+                           - (idx.path_pos[pid][llast]
+                              + node_len[(idx.path_steps[pid][llast] >> 1) - 1]))
+                    if gap <= max_path_jump:
+                        ranges[-1][2] = rank
+                        continue
+            ranges.append([pid, rank, rank])
+
+        # pass 2: split each range on already-seen steps
+        block = Block()
+        for pid, begin, last in ranges:
+            end_excl = last + 1
+            cur_begin = None
+            for r in range(begin, end_excl):
+                if cur_begin is None:
+                    cur_begin = r
+                if seen[pid][r]:
+                    if r > cur_begin:
+                        block.path_ranges.append(PathRange(pid, cur_begin, r))
+                    cur_begin = None
+            if cur_begin is not None:
+                block.path_ranges.append(PathRange(pid, cur_begin, end_excl))
+
+        # mark kept steps, compute lengths
+        total = 0
+        for pr in block.path_ranges:
+            seen[pr.pid][pr.begin:pr.end] = True
+            pr.length = int(idx.path_pos[pr.pid][pr.end] - idx.path_pos[pr.pid][pr.begin])
+            total += pr.length
+
+        if total > 0:
+            block.path_ranges.sort(
+                key=lambda pr: -pr.length if order_paths_from_longest else pr.length)
+            for split in _toposplit(idx, block):
+                blockset.add_block(split)
+
+    for node_id in range(1, idx.n_nodes + 1):
+        handle_length = int(node_len[node_id - 1])
+        sequence_to_add = 0
+        unseen_here: list[tuple[int, int]] = []
+        for pid, rank in node_steps(node_id):
+            if not seen[pid][rank]:
+                sequence_to_add += handle_length
+                unseen_here.append((pid, rank))
+
+        # estimated max per-path length (reference: src/blocks.cpp:255-262)
+        max_path_length = 0
+        nbh = len(block_handles)
+        for pid, (bp, nsteps) in path_coverage.items():
+            denom = 1.0 if nsteps < nbh else (nsteps / nbh if nbh else 1.0)
+            est = int(bp / denom + 0.5) + handle_length  # C++ std::round
+            max_path_length = max(max_path_length, est)
+
+        # longest edge jump in vector coordinates (reference: src/blocks.cpp:264-282)
+        longest_edge_jump = 0
+        if max_edge_jump:
+            h = node_id << 1
+            hoff = int(node_off[node_id - 1])
+            for o in idx.follow_right(h):
+                ooff = int(node_off[(o >> 1) - 1]) + (int(node_len[(o >> 1) - 1]) if o & 1 else 0)
+                longest_edge_jump = max(longest_edge_jump,
+                                        abs(ooff - (hoff + handle_length)))
+            for o in idx.follow_left(h):
+                ooff = int(node_off[(o >> 1) - 1]) + (0 if o & 1 else int(node_len[(o >> 1) - 1]))
+                longest_edge_jump = max(longest_edge_jump, abs(ooff - hoff))
+
+        if block_handles and (
+                total_path_length + sequence_to_add > max_block_weight
+                or (max_edge_jump and longest_edge_jump > max_edge_jump)
+                or max_path_length > max_block_path_length):
+            finalize_block()
+            total_path_length = 0
+            path_coverage = {}
+
+        total_path_length += sequence_to_add
+        for pid, rank in unseen_here:
+            cov = path_coverage.setdefault(pid, [0, 0])
+            cov[0] += handle_length
+            cov[1] += 1
+        block_handles.append(node_id)
+
+    if block_handles:
+        finalize_block()
+
+    Log.info("smoothable_blocks", f"found {len(blockset)} blocks")
+    return blockset
+
+
+def _toposplit(idx: FlatIndex, block: Block) -> list[Block]:
+    """Split a block into weakly-connected components over the nodes its
+    ranges traverse (reference: toposplit_block, src/blocks.cpp:43-105)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def unite(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    for pr in block.path_ranges:
+        steps = idx.path_steps[pr.pid]
+        prev = None
+        for r in range(pr.begin, pr.end):
+            nid = int(steps[r]) >> 1
+            if nid not in parent:
+                parent[nid] = nid
+            if prev is not None:
+                unite(prev, nid)
+            prev = nid
+
+    comp_index: dict[int, int] = {}
+    out: list[Block] = []
+    for pr in block.path_ranges:
+        nid = int(idx.path_steps[pr.pid][pr.begin]) >> 1
+        root = find(nid)
+        ci = comp_index.get(root)
+        if ci is None:
+            ci = len(out)
+            comp_index[root] = ci
+            out.append(Block())
+        out[ci].path_ranges.append(pr)
+    return out

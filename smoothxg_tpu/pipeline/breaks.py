@@ -1,0 +1,219 @@
+"""Block cutting (repeat-aware) and identity splitting.
+
+Reimplements the reference's break_blocks stage (reference:
+src/breaks.cpp:106-606):
+
+  * CUT: a block containing any range longer than max_poa_length is cut —
+    at half the detected VNTR repeat period when autocorrelation finds one
+    over sequences >= 2*min_copy_length, else blindly at max_poa_length
+    (reference: src/breaks.cpp:203-323).
+  * SPLIT: when identity thresholds are configured, sequences are exactly
+    deduplicated (fwd+revcomp), sorted by (length, lex), and greedily
+    clustered newest-group/newest-member-first with a length-ratio prune;
+    long sequences in deep blocks use mash MinHash distance, others a
+    bounded WFA gap-compressed identity (reference: src/breaks.cpp:325-575).
+
+The reference runs this as an OpenMP loop with an ordered writer thread;
+here the per-block work is independent and block order is preserved by
+construction, so the stage is a deterministic map over blocks.  The
+autocorrelation / minhash / WFA inner ops are numpy-vectorized (ops/) and
+batchable on device later.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..graph.index import FlatIndex
+from ..ops.autocorr import repeat as autocorr_repeat
+from ..ops.minhash import kmer_hashes, mash_distance
+from ..ops.wfa import wfa_align, gap_compressed_identity
+from ..utils.dna import revcomp
+from ..utils.progress import Log
+from .blocks import Block, Blockset, PathRange
+
+
+def break_blocks(
+    idx: FlatIndex,
+    blockset: Blockset,
+    *,
+    max_poa_length: int,
+    min_copy_length: int = 1000,
+    max_copy_length: int = 20000,
+    min_autocorr_z: float = 5.0,
+    autocorr_stride: int = 50,
+    length_ratio_min: float = 0.0,
+    min_length_mash_based_clustering: int = 200,
+    block_group_identity: float = 0.0,
+    block_group_est_identity: float = 0.0,
+    kmer_size: int = 17,
+    min_dedup_depth_for_block_splitting: int = 0,
+    min_dedup_depth_for_mash_clustering: int = 12000,
+    order_paths_from_longest: bool = True,
+    break_repeats: bool = True,
+) -> Blockset:
+    out = Blockset()
+    n_cut = n_repeat = n_split = 0
+
+    for block in blockset:
+        block = _cut_block(idx, block, max_poa_length, min_copy_length,
+                           max_copy_length, min_autocorr_z, autocorr_stride,
+                           order_paths_from_longest, break_repeats,
+                           _counters := [0, 0])
+        n_cut += _counters[0]
+        n_repeat += _counters[1]
+
+        splits = _split_block(
+            idx, block,
+            length_ratio_min=length_ratio_min,
+            min_length_mash=min_length_mash_based_clustering,
+            block_group_identity=block_group_identity,
+            block_group_est_identity=block_group_est_identity,
+            kmer_size=kmer_size,
+            min_dedup_depth_split=min_dedup_depth_for_block_splitting,
+            min_dedup_depth_mash=min_dedup_depth_for_mash_clustering,
+        )
+        if len(splits) > 1:
+            n_split += 1
+        for b in splits:
+            out.add_block(b)
+
+    Log.info("break_blocks",
+             f"cut {n_cut} blocks of which {n_repeat} had repeats; "
+             f"split {n_split} blocks -> {len(out)} blocks")
+    return out
+
+
+def _cut_block(idx, block, max_poa_length, min_copy_length, max_copy_length,
+               min_autocorr_z, autocorr_stride, order_paths_from_longest,
+               break_repeats, counters) -> Block:
+    to_break = any(pr.length > max_poa_length for pr in block.path_ranges)
+    if len(block.path_ranges) <= 1 or not to_break:
+        return block
+    counters[0] = 1
+    cut_length = max_poa_length
+    found_repeat = False
+    if break_repeats:
+        lengths = []
+        for pr in block.path_ranges:
+            if pr.length >= 2 * min_copy_length:
+                seq = idx.range_seq(pr.pid, pr.begin, pr.end)
+                r = autocorr_repeat(seq, min_copy_length, max_copy_length,
+                                    min_autocorr_z, autocorr_stride)
+                if r.length > 0:
+                    lengths.append(r.length)
+        found_repeat = bool(lengths)
+        if found_repeat:
+            cut_length = int(np.mean(lengths) / 2.0 + 0.5)
+            counters[1] = 1
+
+    chopped: list[PathRange] = []
+    for pr in block.path_ranges:
+        if not found_repeat and pr.length < cut_length:
+            chopped.append(pr)
+            continue
+        steps = idx.path_steps[pr.pid]
+        node_len = idx.node_len
+        pos = 0
+        last_cut = 0
+        last_end = pr.begin
+        for r in range(pr.begin, pr.end):
+            pos += int(node_len[(int(steps[r]) >> 1) - 1])
+            if pos - last_cut > cut_length:
+                chopped.append(PathRange(pr.pid, last_end, r + 1, pos - last_cut))
+                last_end = r + 1
+                last_cut = pos
+        if pr.end != last_end:
+            chopped.append(PathRange(pr.pid, last_end, pr.end, pos - last_cut))
+    nb = Block()
+    nb.path_ranges = sorted(
+        chopped, key=lambda p: -p.length if order_paths_from_longest else p.length)
+    return nb
+
+
+def _split_block(idx, block, *, length_ratio_min, min_length_mash,
+                 block_group_identity, block_group_est_identity, kmer_size,
+                 min_dedup_depth_split, min_dedup_depth_mash) -> list[Block]:
+    if not ((block_group_identity > 0 or block_group_est_identity > 0)
+            and len(block.path_ranges) > 1):
+        return [block]
+
+    # exact dedup fwd + revcomp (reference: src/breaks.cpp:332-364)
+    dedup_seqs: list[str] = []
+    dedup_orig_ranks: list[list[int]] = []
+    seen_map: dict[str, int] = {}
+    for rank, pr in enumerate(block.path_ranges):
+        seq = idx.range_seq(pr.pid, pr.begin, pr.end)
+        j = seen_map.get(seq)
+        if j is None:
+            j = seen_map.get(revcomp(seq))
+        if j is not None:
+            dedup_orig_ranks[j].append(rank)
+        else:
+            seen_map[seq] = len(dedup_seqs)
+            dedup_seqs.append(seq)
+            dedup_orig_ranks.append([rank])
+
+    if min_dedup_depth_split == 0 or len(dedup_seqs) < min_dedup_depth_split:
+        return [block]
+
+    # sort by (length, lex) so similar sequences are adjacent
+    order = sorted(range(len(dedup_seqs)), key=lambda i: (len(dedup_seqs[i]), dedup_seqs[i]))
+    seqs = [dedup_seqs[i] for i in order]
+    orig_of = [dedup_orig_ranks[i] for i in order]
+
+    mash_enabled = (min_length_mash > 0
+                    and (min_dedup_depth_mash == 0 or len(seqs) >= min_dedup_depth_mash))
+    hashes = [kmer_hashes(s, kmer_size) if (mash_enabled and len(s) >= min_length_mash)
+              else None for s in seqs]
+
+    groups: list[list[int]] = [[0]]
+    one_minus_id = 1.0 - block_group_identity
+    for i in range(1, len(seqs)):
+        curr_fwd = seqs[i]
+        curr_len = len(curr_fwd)
+        found = False
+        best_group = 0
+        for curr in (curr_fwd, revcomp(curr_fwd)):
+            fwd_pass = curr is curr_fwd
+            for j in range(len(groups) - 1, -1, -1):
+                for k in range(len(groups[j]) - 1, -1, -1):
+                    o = groups[j][k]
+                    other = seqs[o]
+                    ratio = len(other) / curr_len
+                    if ratio < length_ratio_min:
+                        break
+                    if (mash_enabled and curr_len >= min_length_mash
+                            and len(other) >= min_length_mash):
+                        if not fwd_pass:
+                            continue  # mash is strand-canonical already
+                        d = mash_distance(hashes[i], hashes[o], kmer_size)
+                        if 1.0 - d >= block_group_est_identity:
+                            best_group, found = j, True
+                            break
+                    else:
+                        max_score = curr_len
+                        score, cigar = wfa_align(curr, other, max_score=max_score)
+                        if score is not None and score < max_score:
+                            gid = gap_compressed_identity(cigar)
+                            if gid >= block_group_identity:
+                                best_group, found = j, True
+                                break
+                if found:
+                    break
+            if found:
+                break
+        if found:
+            groups[best_group].append(i)
+        else:
+            groups.append([i])
+
+    if len(groups) == 1:
+        return [block]
+    out = []
+    for grp in groups:
+        nb = Block()
+        for gi in grp:
+            for orank in orig_of[gi]:
+                nb.path_ranges.append(block.path_ranges[orank])
+        out.append(nb)
+    return out

@@ -1,0 +1,466 @@
+"""Consensus pangenome graph derivation.
+
+Reimplements the reference's create_consensus_graph (reference:
+src/consensus_graph.cpp:95-1030): starting from the smoothed graph and its
+consensus paths, derive a standalone graph of consensus paths plus "link
+paths" preserving variation above a minimum allele length:
+
+  * optional min-coverage filter over consensus paths (:125-154),
+  * node -> owning consensus path map (:167-184),
+  * per non-consensus path walk emitting candidate link paths where the
+    jump (min of vector-space distance and on-consensus distance) is >=
+    min_allele_length or the consensus changes (:314-450),
+  * canonical orientation swap (:424-429), grouping by
+    (from,part,to,part) (:692-718), per-group most-frequent-hash link +
+    perfect edges + novelty filters (:544-690),
+  * output graph: consensus paths, novelty-trimmed link paths, path-implied
+    edges, perfect edges, boundary-preserving steps (:744-998),
+  * unchop -> drop 0-depth -> unchop (:1003-1018).
+"""
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+from ..graph.index import FlatIndex
+from ..graph.mutable import MutableGraph
+from ..utils.params import handy_parameter, split_csv
+from ..utils.progress import Log
+
+BEGIN, MIDDLE, END = ord("b"), ord("m"), ord("e")
+
+
+@dataclass
+class ConsensusSpec:
+    basename: str = ""
+    min_allele_len: int = 0
+    ref_file: str = ""
+    ref_file_sanitized: str = ""
+    keep_consensus_paths: bool = True
+    min_consensus_path_cov: float = 0.0
+    max_allele_len: int = 1_000_000
+
+
+def parse_consensus_spec(spec_str: str, requires_consensus: bool
+                         ) -> tuple[list[ConsensusSpec], bool]:
+    """reference: src/consensus_graph.cpp:36-78."""
+    fields = split_csv(spec_str)
+    basename = fields[0]
+    specs = []
+    for f in fields[1:]:
+        vals = f.split(":")
+        spec = ConsensusSpec(basename=basename)
+        if vals and vals[0]:
+            spec.min_allele_len = int(handy_parameter(vals[0], 0))
+        if len(vals) > 1:
+            spec.ref_file = vals[1]
+            spec.ref_file_sanitized = vals[1].replace("/", "_")
+        spec.keep_consensus_paths = (vals[2] == "y") if len(vals) > 2 else True
+        spec.min_consensus_path_cov = handy_parameter(vals[3], 0) if len(vals) > 3 else 0
+        spec.max_allele_len = int(handy_parameter(vals[4], 1e6)) if len(vals) > 4 else int(1e6)
+        requires_consensus |= spec.keep_consensus_paths
+        specs.append(spec)
+    return specs, requires_consensus
+
+
+def displayname(spec: ConsensusSpec) -> str:
+    return (f"{spec.basename}@{spec.min_allele_len}"
+            f"_{spec.ref_file_sanitized}"
+            f"_{'y' if spec.keep_consensus_paths else 'n'}"
+            f"_{spec.min_consensus_path_cov:g}"
+            f"_{spec.max_allele_len}")
+
+
+@dataclass
+class LinkPath:
+    from_cons: int
+    from_part: int
+    to_cons: int
+    to_part: int
+    length: int = 0
+    jump_length: int = 0
+    hash: int = 0
+    pid: int = 0
+    begin: int = 0          # step rank on pid
+    end: int = 0
+    rank: int = 0
+
+    def group_key(self):
+        return (self.from_cons, self.from_part, self.to_cons, self.to_part)
+
+    def sort_key(self):
+        return (self.from_cons, self.from_part, self.to_cons, self.to_part,
+                self.length, self.jump_length, self.begin, self.end, self.pid)
+
+
+def _stable_hash(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+
+def create_consensus_graph(
+    smoothed: FlatIndex,
+    consensus_path_names: list[str],
+    min_allele_length: int,
+    max_allele_length: int,
+    min_consensus_path_coverage: float = 0.0,
+) -> MutableGraph:
+    cons_pids = [smoothed.get_path(n) for n in consensus_path_names
+                 if smoothed.has_path(n)]
+    # de-dup while preserving order
+    seenp = set()
+    cons_pids = [p for p in cons_pids if not (p in seenp or seenp.add(p))]
+    if not cons_pids:
+        Log.info("consensus_graph", "WARNING: no matching paths; empty graph")
+        return MutableGraph()
+
+    if min_consensus_path_coverage:
+        keep = []
+        for pid in cons_pids:
+            length = 0
+            coverage = 0
+            for r in range(smoothed.step_count(pid)):
+                h = smoothed.step_handle(pid, r)
+                hl = smoothed.get_length(h)
+                length += hl
+                coverage += length * smoothed.node_depth(h >> 1)
+            mean_cov = coverage / length if length else 0
+            if mean_cov > min_consensus_path_coverage:
+                keep.append(pid)
+        cons_pids = keep
+        if not cons_pids:
+            return MutableGraph()
+
+    is_cons = set(cons_pids)
+
+    # node -> first consensus path touching it (reference: :167-184)
+    owner: dict[int, int] = {}
+    for pid in cons_pids:
+        for h in smoothed.path_steps[pid]:
+            nid = int(h) >> 1
+            if nid not in owner:
+                owner[nid] = pid
+
+    def consensus_part(cons_pid: int, node_id: int) -> int:
+        """position of the consensus step on this node -> begin/middle/end
+        eighths (reference: :247-273)."""
+        pos = -1
+        for (p, r) in smoothed.steps_on_node(node_id):
+            if p == cons_pid:
+                pos = smoothed.step_position(p, r)
+        if pos < 0:
+            return MIDDLE
+        clen = smoothed.get_path_length(cons_pid)
+        if pos < clen // 8:
+            return BEGIN
+        if pos < clen - clen // 8:
+            return MIDDLE
+        return END
+
+    def start_in_vector(h: int) -> int:
+        off = smoothed.node_vector_offset(h >> 1)
+        return off + (smoothed.get_length(h) if h & 1 else 0)
+
+    def end_in_vector(h: int) -> int:
+        off = smoothed.node_vector_offset(h >> 1)
+        return off if h & 1 else off + smoothed.get_length(h)
+
+    def consensus_distance(cons_pid: int, last_h: int, curr_h: int) -> int:
+        """reference: :275-308."""
+        start_pos = end_pos = -1
+        for (p, r) in smoothed.steps_on_node(last_h >> 1):
+            if p == cons_pid:
+                start_pos = smoothed.step_position(p, r)
+                if smoothed.step_handle(p, r) == last_h:
+                    start_pos += smoothed.get_length(last_h)
+        for (p, r) in smoothed.steps_on_node(curr_h >> 1):
+            if p == cons_pid:
+                end_pos = smoothed.step_position(p, r)
+                if smoothed.step_handle(p, r) == (curr_h ^ 1):
+                    end_pos += smoothed.get_length(last_h)
+        if start_pos >= 0 and end_pos >= 0:
+            return abs(end_pos - start_pos)
+        return -1
+
+    # ---- link candidate emission (reference: :314-450) ----
+    links: list[LinkPath] = []
+    non_cons = [p for p in range(smoothed.path_count()) if p not in is_cons]
+    for pid in non_cons:
+        steps = smoothed.path_steps[pid]
+        link = None
+        for rank in range(len(steps)):
+            h = int(steps[rank])
+            nid = h >> 1
+            cur = owner.get(nid)
+            if cur is None:
+                continue
+            if link is None:
+                part = consensus_part(cur, nid)
+                link = LinkPath(cur, part, cur, part, pid=pid,
+                                begin=rank, end=rank)
+                continue
+            last_h = int(steps[link.end])
+            jump = 0
+            if link.from_cons == cur:
+                jump = min(abs(start_in_vector(h) - end_in_vector(last_h)),
+                           consensus_distance(cur, last_h, h))
+            if link.from_cons == cur and jump < min_allele_length:
+                link.begin = rank
+                link.end = rank
+                link.length = 0
+            else:
+                link.to_cons = cur
+                link.end = rank
+                seq = smoothed.range_seq(pid, link.begin + 1, link.end)
+                link.length = len(seq)
+                link.jump_length = jump
+                hb = int(steps[link.begin])
+                he = int(steps[link.end])
+                link.hash = _stable_hash(
+                    f"{link.from_cons}_{link.from_part}_{hb >> 1}_"
+                    f"{link.to_cons}_{link.to_part}_{he >> 1}_"
+                    f"{link.length}_{link.jump_length}_{seq}")
+                rev_b, rev_e = bool(hb & 1), bool(he & 1)
+                part_b = consensus_part(link.from_cons, hb >> 1)
+                part_e = consensus_part(link.to_cons, he >> 1)
+                if (rev_b and rev_e) or ((rev_b or rev_e)
+                                         and (hb >> 1, part_b) > (he >> 1, part_e)):
+                    link.from_cons, link.to_cons = link.to_cons, link.from_cons
+                    link.from_part, link.to_part = link.to_part, link.from_part
+                links.append(link)
+                part = consensus_part(cur, nid)
+                link = LinkPath(cur, part, cur, part, pid=pid,
+                                begin=rank, end=rank)
+
+    consensus_links: list[LinkPath] = []
+    perfect_edges: list[tuple[int, int]] = []
+
+    if links:
+        links.sort(key=LinkPath.sort_key)
+        # group by consensus pair (reference: :692-718)
+        groups: list[list[LinkPath]] = []
+        for lk in links:
+            if groups and groups[-1][0].group_key() == lk.group_key():
+                groups[-1].append(lk)
+            else:
+                groups.append([lk])
+        for grp in groups:
+            _compute_link_paths(smoothed, grp, min_allele_length,
+                                max_allele_length, consensus_links,
+                                perfect_edges)
+
+    consensus_links.sort(key=LinkPath.sort_key)
+
+    # ---- build the output graph (reference: :744-998) ----
+    cg = MutableGraph()
+    link_seen: set[int] = set()
+
+    for pid in cons_pids:
+        out_pid = cg.create_path(smoothed.get_path_name(pid))
+        for h in smoothed.path_steps[pid]:
+            h = int(h)
+            nid = h >> 1
+            link_seen.add(nid)
+            if not cg.has_node(nid):
+                cg.create_handle(smoothed.get_sequence(h & ~1), nid)
+            cg.append_step(out_pid, h)
+
+    def novel_bp_of(lk) -> int:
+        tot = 0
+        for r in range(lk.begin, lk.end):
+            h = int(smoothed.path_steps[lk.pid][r])
+            if (h >> 1) not in link_seen:
+                tot += smoothed.get_length(h)
+        return tot
+
+    def largest_gap_of(lk) -> int:
+        run = 0
+        best = 0
+        for r in range(lk.begin, lk.end):
+            h = int(smoothed.path_steps[lk.pid][r])
+            if (h >> 1) not in link_seen:
+                run += smoothed.get_length(h)
+            else:
+                best = max(best, run)
+                run = 0
+        return max(best, run)
+
+    cons_names_by_pid = {p: smoothed.get_path_name(p) for p in cons_pids}
+    for link in consensus_links:
+        if link.length <= 0:
+            continue
+        steps = smoothed.path_steps[link.pid]
+        pieces: list[tuple[int, int]] = []
+        novel_bp = novel_bp_of(link)
+        if link.length > novel_bp:
+            # partially redundant: keep only the novel prefix/suffix pieces,
+            # and only when one novel run dominates (reference: :869-891)
+            if largest_gap_of(link) > 0.95 * link.length:
+                s = link.begin + 1
+                while s < link.end and (int(steps[s]) >> 1) not in link_seen:
+                    s += 1
+                if s > link.begin + 1:
+                    pieces.append((link.begin, s))
+                e = link.end - 1
+                while e > link.begin and (int(steps[e]) >> 1) not in link_seen:
+                    e -= 1
+                if e + 1 < link.end:
+                    pieces.append((e, link.end))
+        else:
+            pieces.append((link.begin, link.end))
+        for i, (b, e) in enumerate(pieces):
+            name = (f"Link_{cons_names_by_pid.get(link.from_cons, link.from_cons)}"
+                    f"_{chr(link.from_part)}"
+                    f"_{cons_names_by_pid.get(link.to_cons, link.to_cons)}"
+                    f"_{chr(link.to_part)}_{link.rank}_{i}")
+            out_pid = cg.create_path(name)
+            step_count = 0
+            # interior steps of the piece, (b, e) exclusive
+            # (reference: :913-934)
+            for rr in range(b + 1, e):
+                h = int(steps[rr])
+                nid = h >> 1
+                link_seen.add(nid)
+                if not cg.has_node(nid):
+                    cg.create_handle(smoothed.get_sequence(h & ~1), nid)
+                cg.append_step(out_pid, h)
+                step_count += 1
+            if step_count == 0:
+                cg.path_steps.pop()
+                cg.path_names.pop()
+                del cg._name2path[name]
+
+    # path-implied edges (reference: :944-957)
+    cg.create_edges_from_paths()
+
+    # perfect edges (reference: :959-968)
+    for (a, b) in perfect_edges:
+        if cg.has_node(a >> 1) and cg.has_node(b >> 1):
+            cg.create_edge(a, b)
+
+    # boundary steps of every link (reference: :986-998)
+    for link in consensus_links:
+        steps = smoothed.path_steps[link.pid]
+
+        def _try_edge(r1, r2):
+            h1, h2 = int(steps[r1]), int(steps[r2])
+            if cg.has_node(h1 >> 1) and cg.has_node(h2 >> 1):
+                cg.create_edge(h1, h2)
+
+        if link.begin + 1 <= link.end:
+            _try_edge(link.begin, min(link.begin + 1, link.end))
+            if link.end - 1 > link.begin:
+                _try_edge(link.end - 1, link.end)
+
+    cg = cg.unchop()
+    # drop 0-depth nodes, then unchop again (reference: :1010-1018)
+    depth: dict[int, int] = {}
+    for steps in cg.path_steps:
+        for h in steps:
+            depth[h >> 1] = depth.get(h >> 1, 0) + 1
+    to_drop = [n for n in cg.node_ids() if depth.get(n, 0) == 0]
+    if to_drop:
+        for n in to_drop:
+            cg.destroy_handle(n << 1)
+        cg = cg.unchop()
+    cg = cg.compact(cg.topological_order())
+    Log.info("consensus_graph",
+             f"final graph {cg.total_seq_len()}bp in {cg.node_count()} nodes")
+    return cg
+
+
+def _compute_link_paths(smoothed, links, min_allele_length, max_allele_length,
+                        consensus_links, perfect_edges):
+    """reference: compute_link_paths, src/consensus_graph.cpp:544-690."""
+    hash_counts: dict[int, int] = {}
+    unique: list[LinkPath] = []
+    for lk in links:
+        c = hash_counts.get(lk.hash, 0)
+        if c == 0:
+            unique.append(lk)
+        hash_counts[lk.hash] = c + 1
+    unique.sort(key=lambda a: (hash_counts[a.hash],) + a.sort_key(), reverse=True)
+    best = unique[0]
+    seen_nodes: set[int] = set()
+    perfect_edge_count = 0
+
+    def link_cons_end(pid: int, at_back: bool, go_rev: bool, target_pid: int):
+        nonlocal perfect_edge_count
+        steps = smoothed.path_steps[pid]
+        if len(steps) == 0:
+            return
+        ch = int(steps[-1 if at_back else 0])
+        nbrs = smoothed.follow_left(ch) if go_rev else smoothed.follow_right(ch)
+        for n in nbrs:
+            for (p, r) in smoothed.steps_on_node(n >> 1):
+                if p == target_pid:
+                    pair = (ch, n) if not go_rev else (n, ch)
+                    perfect_edges.append(pair)
+                    seen_nodes.add(ch >> 1)
+                    seen_nodes.add(n >> 1)
+                    perfect_edge_count += 1
+
+    a = (best.from_cons, best.from_part)
+    b = (best.to_cons, best.to_part)
+    if a != b:
+        # reference probes every (end, direction) combination (:608-619)
+        for (path_a, path_b) in ((a[0], b[0]), (b[0], a[0])):
+            for at_back in (True, False):
+                for go_rev in (False, True):
+                    link_cons_end(path_a, at_back, go_rev, path_b)
+
+    for pid in {a[0], b[0]}:
+        for h in smoothed.path_steps[pid]:
+            seen_nodes.add(int(h) >> 1)
+
+    def novel_len(lk):
+        tot = 0
+        for r in range(lk.begin, lk.end):
+            h = int(smoothed.path_steps[lk.pid][r])
+            if (h >> 1) not in seen_nodes:
+                tot += smoothed.get_length(h)
+        return tot
+
+    def largest_gap(lk):
+        run = best_g = 0
+        for r in range(lk.begin, lk.end):
+            h = int(smoothed.path_steps[lk.pid][r])
+            if (h >> 1) not in seen_nodes:
+                run += smoothed.get_length(h)
+            else:
+                best_g = max(best_g, run)
+                run = 0
+        return max(best_g, run)
+
+    def mark(lk):
+        for r in range(lk.begin, lk.end):
+            seen_nodes.add(int(smoothed.path_steps[lk.pid][r]) >> 1)
+
+    link_rank = 0
+    diff_consensi = a != b
+    links_to_add = min(max(0, 2 - perfect_edge_count), len(unique))
+    for i, lk in enumerate(unique):
+        steps = smoothed.path_steps[lk.pid]
+        if i < links_to_add:
+            if lk.length == 0:
+                if diff_consensi:
+                    perfect_edges.append((int(steps[lk.begin]), int(steps[lk.end])))
+            else:
+                lk.rank = link_rank
+                link_rank += 1
+                consensus_links.append(lk)
+                mark(lk)
+        else:
+            gap_bp = largest_gap(lk)
+            novel_bp = novel_len(lk)
+            if lk.length == 0 and diff_consensi:
+                perfect_edges.append((int(steps[lk.begin]), int(steps[lk.end])))
+            elif lk.length == novel_bp and (
+                    (best.from_cons == best.to_cons
+                     and min_allele_length <= lk.jump_length < max_allele_length
+                     and (lk.length == 0
+                          or (novel_bp >= min_allele_length and gap_bp == novel_bp)))
+                    or (min_allele_length <= novel_bp < max_allele_length)):
+                lk.rank = link_rank
+                link_rank += 1
+                consensus_links.append(lk)
+                mark(lk)

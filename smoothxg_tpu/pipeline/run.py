@@ -1,0 +1,180 @@
+"""Top-level smoothing driver: the multi-iteration pipeline loop.
+
+Reimplements the reference driver's per-iteration flow (reference:
+src/main.cpp:374-1045): for each POA length target, prep -> index -> find
+blocks -> break/split -> smooth -> lace/validate -> (last iteration: MAF +
+consensus) -> unchop -> GFA; then optional consensus graph derivation
+(reference: src/main.cpp:1067-1131).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from ..graph.index import FlatIndex
+from ..io.gfa import read_gfa, write_gfa
+from ..ops.poa_host import POAParams
+from ..utils.progress import Log, phase
+from .blocks import smoothable_blocks
+from .breaks import break_blocks
+from .lace import lace
+from .maf import maf_header, write_maf
+from .prep import prep
+from .smooth import smooth_blocks
+
+
+@dataclass
+class Config:
+    gfa_in: str = ""
+    smoothed_out: str = ""
+    # block computation
+    n_haps: int = 0
+    max_block_weight: int | None = None
+    max_path_jump: int = 100
+    max_edge_jump: int = 0
+    # copy length
+    min_copy_length: int = 1000
+    max_copy_length: int = 20000
+    min_autocorr_z: float = 5.0
+    autocorr_stride: int = 50
+    # block splitting
+    block_group_identity: float = 0.0
+    block_group_est_identity: float | None = None
+    block_length_ratio_min: float = 0.0
+    min_dedup_depth_for_block_splitting: int = 0
+    min_dedup_depth_for_mash_clustering: int = 12000
+    min_length_mash_based_clustering: int = 200
+    kmer_size: int = 17
+    # POA
+    poa_params: tuple = (1, 4, 6, 2, 26, 1)
+    adaptive_poa_params: bool = False
+    poa_length_targets: list[int] = field(default_factory=lambda: [4000])
+    max_poa_length: int | None = None
+    poa_padding_fraction: float = 0.001
+    max_block_depth_for_padding_more: int = 1000
+    use_abpoa: bool = False
+    local_alignment: bool = True
+    # consensus / maf
+    consensus_path_prefix: str = "Consensus_"
+    add_consensus: bool = False
+    write_msa_in_maf_format: str = ""
+    merge_blocks: bool = False
+    # prep
+    no_prep: bool = False
+    node_chop: int = 100
+    sgd_term_updates: float = 1.0
+    use_sgd: bool = True
+    # temp
+    tmp_base: str = ""
+    keep_temp: bool = False
+    # engine: "host" (numpy oracle) | "jax" (batched TPU kernels)
+    engine: str = "host"
+
+
+def _make_engine(cfg: Config):
+    if cfg.engine == "host":
+        from .smooth import HostPOAEngine
+        return HostPOAEngine()
+    from ..ops.poa_jax import JaxPOAEngine
+    return JaxPOAEngine()
+
+
+def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
+    """Run the full multi-iteration smoothing pipeline.
+    Returns (final gfa path, consensus path names)."""
+    targets = list(cfg.poa_length_targets)
+    n_iters = len(targets)
+    path_input = cfg.gfa_in
+    consensus_path_names: list[str] = []
+    engine = _make_engine(cfg)
+    tmpdir = cfg.tmp_base or os.path.dirname(os.path.abspath(cfg.smoothed_out))
+    temps: list[str] = []
+
+    for it, target in enumerate(targets):
+        tag = f"({it + 1}-{n_iters})"
+        last = it == n_iters - 1
+        max_poa_length = cfg.max_poa_length or 2 * target
+        max_block_weight = cfg.max_block_weight or target * cfg.n_haps
+
+        with phase(tag, f"loading graph {path_input}"):
+            g = read_gfa(path_input)
+        if not cfg.no_prep:
+            with phase(tag, "prepping graph"):
+                g = prep(g, cfg.node_chop, use_sgd=cfg.use_sgd,
+                         sgd_term_updates=cfg.sgd_term_updates)
+        else:
+            g = g.compact()
+        with phase(tag, "building flat index"):
+            idx = FlatIndex(g)
+            path_seqs = [idx.path_seq(p) for p in range(idx.path_count())]
+
+        with phase(tag, "finding blocks"):
+            blockset = smoothable_blocks(
+                idx, max_block_weight, target,
+                cfg.max_path_jump, cfg.max_edge_jump)
+        with phase(tag, "breaking blocks"):
+            blockset = break_blocks(
+                idx, blockset,
+                max_poa_length=max_poa_length,
+                min_copy_length=cfg.min_copy_length,
+                max_copy_length=cfg.max_copy_length,
+                min_autocorr_z=cfg.min_autocorr_z,
+                autocorr_stride=cfg.autocorr_stride,
+                length_ratio_min=cfg.block_length_ratio_min,
+                min_length_mash_based_clustering=cfg.min_length_mash_based_clustering,
+                block_group_identity=cfg.block_group_identity,
+                block_group_est_identity=(
+                    cfg.block_group_est_identity
+                    if cfg.block_group_est_identity is not None
+                    else cfg.block_group_identity),
+                kmer_size=cfg.kmer_size,
+                min_dedup_depth_for_block_splitting=cfg.min_dedup_depth_for_block_splitting,
+                min_dedup_depth_for_mash_clustering=cfg.min_dedup_depth_for_mash_clustering)
+
+        m, n, gp, e, q, c = cfg.poa_params
+        params = POAParams(m, n, gp, e, q, c,
+                           local=cfg.local_alignment and not cfg.use_abpoa)
+        consensus_base = cfg.consensus_path_prefix if (last and cfg.add_consensus) else ""
+        produce_maf = last and bool(cfg.write_msa_in_maf_format)
+        with phase(tag, f"smoothing {len(blockset)} blocks"):
+            results = smooth_blocks(
+                idx, blockset,
+                params=params,
+                adaptive_poa_params=cfg.adaptive_poa_params,
+                kmer_size=cfg.kmer_size,
+                padding_fraction=cfg.poa_padding_fraction,
+                max_block_depth_for_padding_more=cfg.max_block_depth_for_padding_more,
+                consensus_base_name=consensus_base,
+                produce_maf=produce_maf,
+                engine=engine)
+        with phase(tag, "lacing and validating"):
+            smoothed, cons_names = lace(idx, results, path_seqs)
+        if last:
+            consensus_path_names = cons_names
+
+        if produce_maf:
+            hdr = maf_header(os.path.basename(cfg.gfa_in), idx.path_count(), {
+                "merge_blocks": str(cfg.merge_blocks).lower(),
+                "POA": ("abPOA" if cfg.use_abpoa else "SPOA")
+                       + (" local" if params.local else " global"),
+                "max_block_weight": max_block_weight,
+                "max_poa_length": max_poa_length,
+            })
+            with phase(tag, f"writing MAF {cfg.write_msa_in_maf_format}"):
+                write_maf(cfg.write_msa_in_maf_format, hdr, results)
+
+        out_path = cfg.smoothed_out if last else os.path.join(
+            tmpdir, f"{os.path.basename(cfg.gfa_in)}.smooth.{it}.gfa")
+        with phase(tag, f"writing smoothed graph {out_path}"):
+            write_gfa(smoothed, out_path)
+        if not last:
+            temps.append(out_path)
+        path_input = out_path
+
+    if not cfg.keep_temp:
+        for t in temps:
+            try:
+                os.remove(t)
+            except OSError:
+                pass
+    return cfg.smoothed_out, consensus_path_names

@@ -1,0 +1,376 @@
+"""Per-block POA smoothing: sequence extraction, dedup, POA, consensus, MSA,
+and block-graph construction.
+
+Reimplements the reference's smooth_spoa/smooth_abpoa + smooth_and_lace POA
+loop (reference: src/smooth.cpp:622-1073, 135-620, 1904-2284) with a
+round-synchronized engine interface so that round r of every block can be
+batched into one device call: the reference's `#pragma omp parallel for` over
+blocks (src/smooth.cpp:1904) becomes data-parallel block batches on TPU.
+
+Per block (reference semantics):
+  * each path range is extracted with `padding` flanking bases from its path
+    (N-filled at path ends; reference: append_to_sequence, src/smooth.cpp:70-128),
+  * strand-normalized to the majority orientation (src/smooth.cpp:690-692),
+  * exactly deduplicated with weights (XXH64 dedup, src/smooth.cpp:698-724),
+  * POA-aligned (local by default) with per-sequence weights,
+  * consensus = heaviest bundle (only on the last iteration),
+  * the POA graph is converted to a block graph with 1bp nodes, only
+    path-supported nodes/edges, unchopped, topo-sorted, paths in original
+    block order with consensus last (src/smooth.cpp:914-994, 2548-2626).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..graph.index import FlatIndex
+from ..graph.mutable import MutableGraph, flip
+from ..ops import poa_host
+from ..ops.minhash import kmer_hashes, mash_distance
+from ..ops.poa_graph import POAGraph
+from ..ops.poa_host import POAParams
+from ..utils.dna import encode_seq, revcomp
+from ..utils.progress import Log
+
+GAP = ord("-")
+
+
+@dataclass
+class MafRow:
+    src: str
+    start: int
+    size: int
+    is_rev: bool
+    src_len: int
+    text: str
+
+
+@dataclass
+class BlockResult:
+    block_id: int
+    graph: MutableGraph | None
+    # per original range: (pid, start_pos, end_pos, target_path_rank_1based)
+    path_mappings: list[tuple[int, int, int, int]]
+    consensus_name: str | None
+    maf: dict[str, list[MafRow]] | None
+
+
+@dataclass
+class _BlockState:
+    block_id: int
+    ranges: list                     # PathRange list (original block order)
+    useqs: list[str] = field(default_factory=list)       # unique, normalized
+    weights: list[int] = field(default_factory=list)
+    dup_is_rev: list[list[bool]] = field(default_factory=list)
+    dup_names: list[list[str]] = field(default_factory=list)
+    dup_range_idx: list[list[int]] = field(default_factory=list)
+    names_in_order: list[str] = field(default_factory=list)
+    range_is_rev: list[bool] = field(default_factory=list)
+    graph: POAGraph | None = None
+    params: POAParams | None = None
+    padding: int = 0
+
+
+class HostPOAEngine:
+    """Scalar engine: one align() per task (numpy DP)."""
+
+    def align_batch(self, tasks):
+        # tasks: list of (graph, seq_codes, params)
+        return [poa_host.align(g, s, p) for (g, s, p) in tasks]
+
+
+def _block_padding(idx: FlatIndex, ranges, padding_fraction: float,
+                   max_block_depth_for_padding_more: int) -> int:
+    """reference: src/smooth.cpp:1919-1943."""
+    if padding_fraction <= 0:
+        return 0
+    pad = 0
+    if len(ranges) <= max_block_depth_for_padding_more:
+        pad = 311
+    total = sum(pr.length for pr in ranges)
+    avg = total / max(len(ranges), 1)
+    return max(int(avg * padding_fraction), pad)
+
+
+def _adaptive_params(idx: FlatIndex, ranges, base: POAParams, kmer_size: int,
+                     max_depth: int) -> POAParams:
+    """Estimate 30th-percentile pairwise identity via MinHash and pick a
+    penalty tier (reference: src/smooth.cpp:1955-2042)."""
+    if len(ranges) < 2 or len(ranges) > max_depth:
+        return base
+    seqs = []
+    for pr in ranges:
+        s = idx.range_seq(pr.pid, pr.begin, pr.end)
+        if len(s) >= 8 * kmer_size:
+            seqs.append(s)
+    if len(seqs) < 2:
+        return base
+    hashes = [kmer_hashes(s, kmer_size) for s in seqs]
+    dists = []
+    for i in range(len(seqs)):
+        for j in range(i + 1, len(seqs)):
+            dists.append(1.0 - mash_distance(hashes[i], hashes[j], kmer_size))
+    dists.sort()
+    est = max(0.7, dists[int((len(dists) - 1) * 0.30)])
+    tiers = [
+        (0.99, (1, 19, 39, 3, 81, 1)),
+        (0.98, (1, 13, 31, 3, 51, 1)),
+        (0.97, (1, 9, 16, 2, 41, 1)),
+        (0.95, (1, 7, 11, 2, 33, 1)),
+        (0.90, (1, 4, 6, 2, 26, 1)),
+    ]
+    for thr, (m, n, g, e, q, c) in tiers:
+        if est >= thr:
+            return POAParams(m, n, g, e, q, c, local=base.local)
+    return base
+
+
+def _extract_block(idx: FlatIndex, path_seqs: list[str], block, block_id: int,
+                   padding: int, params: POAParams) -> _BlockState:
+    st = _BlockState(block_id, block.path_ranges, params=params, padding=padding)
+    seq_to_rank: dict[str, int] = {}
+    for i, pr in enumerate(block.path_ranges):
+        p0 = int(idx.path_pos[pr.pid][pr.begin])
+        p1 = int(idx.path_pos[pr.pid][pr.end])
+        plen = int(idx.path_len[pr.pid])
+        core = path_seqs[pr.pid][max(0, p0 - padding):min(plen, p1 + padding)]
+        left_fill = "N" * max(0, padding - p0)
+        right_fill = "N" * max(0, (p1 + padding) - plen)
+        seq = left_fill + core + right_fill
+        fwd, rev = idx.rev_bp_in_window(pr.pid, p0 - padding, p1 + padding)
+        is_rev = rev > fwd
+        if is_rev:
+            seq = revcomp(seq)
+        name = f"{idx.get_path_name(pr.pid)}_{p0}"
+        st.names_in_order.append(name)
+        st.range_is_rev.append(is_rev)
+        r = seq_to_rank.get(seq)
+        if r is None:
+            seq_to_rank[seq] = len(st.useqs)
+            st.useqs.append(seq)
+            st.weights.append(1)
+            st.dup_is_rev.append([is_rev])
+            st.dup_names.append([name])
+            st.dup_range_idx.append([i])
+        else:
+            st.weights[r] += 1
+            st.dup_is_rev[r].append(is_rev)
+            st.dup_names[r].append(name)
+            st.dup_range_idx[r].append(i)
+    return st
+
+
+def smooth_blocks(
+    idx: FlatIndex,
+    blockset,
+    *,
+    params: POAParams,
+    adaptive_poa_params: bool = False,
+    kmer_size: int = 17,
+    padding_fraction: float = 0.001,
+    max_block_depth_for_padding_more: int = 1000,
+    consensus_base_name: str = "",
+    produce_maf: bool = False,
+    engine=None,
+) -> list[BlockResult]:
+    """Smooth every block; returns BlockResults in block-id order."""
+    engine = engine or HostPOAEngine()
+    add_consensus = bool(consensus_base_name)
+
+    # cache path sequences once (seqindex equivalent, reference: src/seqindex.cpp)
+    path_seqs = [idx.path_seq(pid) for pid in range(idx.path_count())]
+
+    states: list[_BlockState] = []
+    for bid, block in enumerate(blockset):
+        pad = _block_padding(idx, block.path_ranges, padding_fraction,
+                             max_block_depth_for_padding_more)
+        p = params
+        if adaptive_poa_params:
+            p = _adaptive_params(idx, block.path_ranges, params, kmer_size,
+                                 max_block_depth_for_padding_more)
+        states.append(_extract_block(idx, path_seqs, block, bid, pad, p))
+
+    # round-synchronized POA: round 0 seeds the graph, round r aligns the
+    # r-th unique sequence of every still-active block (device-batchable)
+    max_rounds = max((len(st.useqs) for st in states), default=0)
+    enc: list[list[np.ndarray]] = [
+        [encode_seq(s) for s in st.useqs] for st in states]
+    for st, es in zip(states, enc):
+        if es:
+            st.graph = POAGraph()
+            st.graph.add_sequence(es[0], st.weights[0])
+    for r in range(1, max_rounds):
+        tasks, owners = [], []
+        for st, es in zip(states, enc):
+            if r < len(es):
+                tasks.append((st.graph, es[r], st.params))
+                owners.append((st, es[r], st.weights[r]))
+        if not tasks:
+            break
+        alns = engine.align_batch(tasks)
+        for (st, e, w), aln in zip(owners, alns):
+            st.graph.add_alignment(aln, e, w)
+
+    results = [
+        _finalize_block(idx, st, add_consensus, consensus_base_name, produce_maf)
+        for st in states
+    ]
+    Log.info("smooth", f"smoothed {len(results)} blocks "
+                       f"(max rounds {max_rounds})")
+    return results
+
+
+def _finalize_block(idx: FlatIndex, st: _BlockState, add_consensus: bool,
+                    consensus_base_name: str, produce_maf: bool) -> BlockResult:
+    bid = st.block_id
+    consensus_name = f"{consensus_base_name}{bid}" if add_consensus else None
+    if st.graph is None or st.graph.n_nodes() == 0:
+        return BlockResult(bid, None, [], None, None)
+    g = st.graph
+    pad = st.padding
+
+    cons_path = g.consensus_path() if add_consensus else []
+
+    maf = None
+    if produce_maf:
+        maf = _maf_rows(idx, st, g, cons_path, consensus_name)
+
+    # ---- block graph construction ----
+    # trimmed per-sequence node paths (padding removed;
+    # reference: src/smooth.cpp:2583, steps[padding:-padding])
+    trimmed = [path[pad:len(path) - pad] if pad else list(path)
+               for path in g.seq_paths]
+
+    kept: set[int] = set()
+    for tp in trimmed:
+        kept.update(tp)
+    # spoa-mode consensus keeps its full node set (incl. pad overlap),
+    # reference: build_odgi_SPOA include_consensus, src/smooth.cpp:2596-2609
+    cons_steps = list(cons_path)
+    kept.update(cons_steps)
+
+    bg = MutableGraph()
+    remap: dict[int, int] = {}
+    for v in sorted(kept):
+        remap[v] = bg.create_handle(chr(g.base[v])) >> 1
+
+    # paths in original block order (reference: src/smooth.cpp:980-994)
+    # each original range becomes one path; duplicates reuse their unique
+    # sequence's node path, reversed+flipped when strand-normalized
+    range_paths: list[list[int]] = [None] * len(st.ranges)
+    for urank, idxs in enumerate(st.dup_range_idx):
+        for occ, ri in enumerate(idxs):
+            is_rev = st.dup_is_rev[urank][occ]
+            steps = [remap[v] << 1 for v in trimmed[urank]]
+            if is_rev:
+                steps = [h ^ 1 for h in reversed(steps)]
+            range_paths[ri] = steps
+    for ri, name in enumerate(st.names_in_order):
+        pid = bg.create_path(name)
+        bg.path_steps[pid] = range_paths[ri]
+    if add_consensus:
+        pid = bg.create_path(consensus_name)
+        bg.path_steps[pid] = [remap[v] << 1 for v in cons_steps]
+
+    bg.create_edges_from_paths()
+    bg = bg.unchop()
+    bg = bg.compact(bg.topological_order())
+
+    # groom flip: when the MAF machinery is active the reference flips blocks
+    # whose lowest-original-path first step is reverse, so the forward strand
+    # of the lowest-ranked path reads forward (reference: src/smooth.cpp:
+    # 1800-1829 flip decision, 2324-2408 flip pass)
+    if produce_maf and st.ranges:
+        target_ri = min(range(len(st.ranges)), key=lambda i: st.ranges[i].pid)
+        tsteps = bg.path_steps[target_ri]
+        if tsteps and (tsteps[0] & 1):
+            bg = _flip_block_graph(bg, consensus_name)
+            if maf is not None:
+                _flip_maf(maf, consensus_name)
+
+    # per-range path mapping (reference: src/smooth.cpp:2256-2269)
+    mappings = []
+    for ri, pr in enumerate(st.ranges):
+        p0 = int(idx.path_pos[pr.pid][pr.begin])
+        p1 = int(idx.path_pos[pr.pid][pr.end])
+        mappings.append((pr.pid, p0, p1, ri + 1))
+    return BlockResult(bid, bg, mappings, consensus_name, maf)
+
+
+def _flip_block_graph(bg: MutableGraph, consensus_name: str | None) -> MutableGraph:
+    """Reverse-complement the block graph's node encoding while preserving
+    every read path's sequence; the consensus path becomes the reverse
+    complement walk (reference: src/smooth.cpp:2331-2403)."""
+    out = MutableGraph()
+    for n in bg.node_ids():
+        out.create_handle(revcomp(bg.seqs[n]), n)
+    for a, b in bg.edges():
+        out.create_edge(a ^ 1, b ^ 1)
+    for name, steps in zip(bg.path_names, bg.path_steps):
+        pid = out.create_path(name)
+        if name == consensus_name:
+            out.path_steps[pid] = list(reversed(steps))
+        else:
+            out.path_steps[pid] = [h ^ 1 for h in steps]
+    return out
+
+
+def _flip_maf(maf: dict[str, list[MafRow]], consensus_name: str | None) -> None:
+    """reference: _put_block_in_group with flip_block_before_merging
+    (src/smooth.cpp:1099-1112, 1221-1226)."""
+    for name, rows in maf.items():
+        for r in rows:
+            if name == consensus_name:
+                r.text = revcomp(r.text)
+            else:
+                r.start = r.src_len - (r.start + r.size)
+                r.is_rev = not r.is_rev
+                r.text = revcomp(r.text)
+
+
+def _maf_rows(idx, st, g, cons_path, consensus_name) -> dict[str, list[MafRow]]:
+    """MSA -> MAF partial rows keyed by path name
+    (reference: src/smooth.cpp:766-893)."""
+    pad = st.padding
+    rows = g.msa_rows(include_consensus=bool(cons_path))
+    nseq = len(g.seq_paths)
+    read_rows = rows[:nseq]
+
+    # blank `pad` non-gap chars from each end of each read row
+    for row in read_rows:
+        if pad == 0:
+            break
+        nz = np.flatnonzero(row != GAP)
+        row[nz[:pad]] = GAP
+        row[nz[len(nz) - pad:]] = GAP
+    # trim all-gap columns at both ends (computed over read rows)
+    if read_rows:
+        occupied = np.zeros(len(read_rows[0]), dtype=bool)
+        for row in read_rows:
+            occupied |= row != GAP
+        nz = np.flatnonzero(occupied)
+        lo, hi = (int(nz[0]), int(nz[-1]) + 1) if len(nz) else (0, 0)
+    else:
+        lo = hi = 0
+
+    maf: dict[str, list[MafRow]] = {}
+    for urank in range(nseq):
+        for occ, ri in enumerate(st.dup_range_idx[urank]):
+            pr = st.ranges[ri]
+            is_rev = st.dup_is_rev[urank][occ]
+            path_name = idx.get_path_name(pr.pid)
+            plen = int(idx.path_len[pr.pid])
+            p0 = int(idx.path_pos[pr.pid][pr.begin])
+            p1 = int(idx.path_pos[pr.pid][pr.end])
+            start = plen - p1 if is_rev else p0
+            maf.setdefault(path_name, []).append(MafRow(
+                path_name, start, p1 - p0, is_rev, plen,
+                read_rows[urank][lo:hi].tobytes().decode()))
+    if cons_path:
+        crow = rows[-1]
+        maf[consensus_name] = [MafRow(
+            consensus_name, 0, max(len(cons_path) - 2 * pad, 0), False,
+            max(len(cons_path) - 2 * pad, 0),
+            crow[lo:hi].tobytes().decode())]
+    return maf

@@ -1,0 +1,94 @@
+"""Pipeline stage tests: block finding invariants, breaks, end-to-end on a
+subset, ops (autocorr, minhash, wfa)."""
+import numpy as np
+import pytest
+
+from smoothxg_tpu.graph.index import FlatIndex
+from smoothxg_tpu.io.gfa import read_gfa
+from smoothxg_tpu.ops.autocorr import repeat
+from smoothxg_tpu.ops.minhash import kmer_hashes, mash_distance
+from smoothxg_tpu.ops.wfa import wfa_align, gap_compressed_identity
+from smoothxg_tpu.pipeline.blocks import smoothable_blocks
+from smoothxg_tpu.pipeline.breaks import break_blocks
+
+
+@pytest.fixture(scope="module")
+def drb1_idx(drb1_path):
+    g = read_gfa(drb1_path).chop(100).compact()
+    return FlatIndex(g)
+
+
+def test_blocks_cover_all_steps_once(drb1_idx):
+    idx = drb1_idx
+    bs = smoothable_blocks(idx, 700 * 12, 700, 5000, 5000)
+    covered = [np.zeros(idx.step_count(p), bool) for p in range(idx.path_count())]
+    for b in bs:
+        for pr in b.path_ranges:
+            assert not covered[pr.pid][pr.begin:pr.end].any()
+            covered[pr.pid][pr.begin:pr.end] = True
+    assert all(c.all() for c in covered)
+
+
+def test_blocks_ranges_sorted_longest_first(drb1_idx):
+    bs = smoothable_blocks(drb1_idx, 700 * 12, 700, 5000, 5000)
+    for b in bs:
+        lens = [pr.length for pr in b.path_ranges]
+        assert lens == sorted(lens, reverse=True)
+
+
+def test_break_blocks_cuts_long_ranges(drb1_idx):
+    idx = drb1_idx
+    bs = smoothable_blocks(idx, 100000, 100000, 5000, 0)
+    bs2 = break_blocks(idx, bs, max_poa_length=1400)
+    # all multi-range blocks have ranges <= max_poa_length after cutting
+    for b in bs2:
+        if len(b.path_ranges) > 1:
+            for pr in b.path_ranges:
+                # repeat-based cuts may exceed max slightly; blind cuts never
+                assert pr.length <= 20000
+
+
+def test_autocorr_detects_tandem_repeat():
+    rng = np.random.default_rng(7)
+    unit = "".join("ACGT"[i] for i in rng.integers(0, 4, 50))
+    seq = unit * 80  # 50bp period tandem
+    # lag window holding few harmonics, like the real caller's
+    # min/max copy length bounds around the expected scale
+    r = repeat(seq, 20, 130, min_z=2.0, stride=5)
+    assert r.length > 0 and r.length % 50 == 0
+
+
+def test_autocorr_no_repeat_on_random():
+    rng = np.random.default_rng(0)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 4000))
+    r = repeat(seq, 100, 2000, min_z=6.0, stride=50)
+    assert r.length == 0
+
+
+def test_minhash_identical_and_distinct():
+    a = "ACGTAGCTAGCTAGCATCGATCGATCGGATCCTAGCTAGCATCGA" * 4
+    h1 = kmer_hashes(a, 17)
+    assert mash_distance(h1, h1, 17) == 0.0
+    rng = np.random.default_rng(1)
+    b = "".join("ACGT"[i] for i in rng.integers(0, 4, len(a)))
+    assert mash_distance(h1, kmer_hashes(b, 17), 17) > 0.3
+
+
+def test_wfa_exact_match():
+    score, cigar = wfa_align("ACGTACGT", "ACGTACGT")
+    assert score == 0 and cigar == "M" * 8
+    assert gap_compressed_identity(cigar) == 1.0
+
+
+def test_wfa_mismatch_and_gap():
+    score, cigar = wfa_align("ACGTACGT", "ACGAACGT")
+    assert score == 7 and cigar.count("X") == 1
+    score, cigar = wfa_align("ACGTTTACGT", "ACGTACGT")
+    assert cigar.count("I") == 2
+    ident = gap_compressed_identity(cigar)
+    assert ident == pytest.approx(8 / 9)
+
+
+def test_wfa_bound():
+    score, cigar = wfa_align("AAAAAAAA", "TTTTTTTT", max_score=10)
+    assert score is None
