@@ -72,6 +72,8 @@ class Config:
 
 
 def _make_engine(cfg: Config):
+    if not isinstance(cfg.engine, str):
+        return cfg.engine            # pre-built engine instance
     if cfg.engine == "host":
         from .smooth import HostPOAEngine
         return HostPOAEngine()
