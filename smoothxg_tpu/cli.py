@@ -159,6 +159,9 @@ def main(argv=None) -> int:
             add_consensus=add_consensus,
             write_msa_in_maf_format=args.write_msa_in_maf_format,
             merge_blocks=args.merge_blocks,
+            preserve_unmerged_consensus=args.preserve_unmerged_consensus,
+            contiguous_path_jaccard=min(args.contiguous_path_jaccard, 1.0),
+            max_merged_groups_in_memory=args.max_block_groups_in_memory,
             no_prep=args.no_prep,
             node_chop=args.chop_to,
             sgd_term_updates=args.path_sgd_term_updates,

@@ -25,7 +25,9 @@ class PathValidationError(RuntimeError):
 
 
 def lace(idx: FlatIndex, results: list[BlockResult],
-         path_seqs: list[str]) -> tuple[MutableGraph, list[str]]:
+         path_seqs: list[str], merge_outcome=None,
+         preserve_unmerged_consensus: bool = False,
+         consensus_base_name: str = "") -> tuple[MutableGraph, list[str]]:
     """Returns (smoothed graph, consensus path names)."""
     smoothed = MutableGraph()
 
@@ -101,20 +103,47 @@ def lace(idx: FlatIndex, results: list[BlockResult],
             f"path count mismatch: {smoothed.path_count()} vs {idx.path_count()}")
     Log.info("lace", f"validated {smoothed.path_count()} paths")
 
-    # 5) consensus embedding (unmerged; reference: src/main.cpp:832-866)
+    # 5) consensus embedding (reference: src/main.cpp:802-976)
     consensus_names: list[str] = []
+    in_merged = merge_outcome.in_merged_group if merge_outcome else set()
+    exclude_unmerged = in_merged if (merge_outcome
+                                     and not preserve_unmerged_consensus) else set()
+
+    def _embed_consensus_steps(out_pid: int, block_id: int) -> None:
+        bg = results[block_id].graph
+        if bg is None:
+            return
+        cname = results[block_id].consensus_name
+        if cname is None or not bg.has_path(cname):
+            return
+        off = id_trans[block_id]
+        smoothed.path_steps[out_pid].extend(
+            ((h >> 1) + off) << 1 | (h & 1)
+            for h in bg.path_steps[bg.get_path(cname)])
+
     for res in results:
         if res.consensus_name is None or res.graph is None:
             continue
-        bg = res.graph
-        if not bg.has_path(res.consensus_name):
+        if not res.graph.has_path(res.consensus_name):
             continue
-        off = id_trans[res.block_id]
+        if res.block_id in exclude_unmerged:
+            continue
         out_pid = smoothed.create_path(res.consensus_name)
-        smoothed.path_steps[out_pid] = [
-            ((h >> 1) + off) << 1 | (h & 1)
-            for h in bg.path_steps[bg.get_path(res.consensus_name)]]
-        consensus_names.append(res.consensus_name)
+        _embed_consensus_steps(out_pid, res.block_id)
+        if res.block_id not in in_merged:
+            consensus_names.append(res.consensus_name)
+
+    # merged consensus paths (reference: src/main.cpp:869-946)
+    if merge_outcome:
+        for mc in merge_outcome.merged:
+            name = consensus_base_name + mc.block_id_ranges
+            out_pid = smoothed.create_path(name)
+            runs = mc.runs
+            for (lo, hi) in runs:
+                ids = range(hi, lo - 1, -1) if mc.inverted else range(lo, hi + 1)
+                for bid in ids:
+                    _embed_consensus_steps(out_pid, bid)
+            consensus_names.append(name)
 
     # 6) path-implied edges + unchop
     smoothed.create_edges_from_paths()

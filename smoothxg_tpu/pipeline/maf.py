@@ -23,23 +23,13 @@ def maf_header(input_name: str, n_sequences: int, params: dict) -> str:
     return "\n".join(lines) + "\n"
 
 
-def write_maf(path: str, header: str, results: list[BlockResult]) -> None:
+def write_maf(path: str, header: str,
+              records: list[tuple[str, list[MafRow]]]) -> None:
+    """records: (a-line header, rows) per block/merged group, in order."""
     with open(path, "w") as out:
         out.write(header + "\n")
-        for res in results:
-            if res.maf is None:
-                continue
-            rows: list[MafRow] = []
-            loops = False
-            for name, rws in res.maf.items():
-                if name == res.consensus_name:
-                    continue
-                if len(rws) > 1:
-                    loops = True
-                rows.extend(rws)
-            if res.consensus_name and res.consensus_name in res.maf:
-                rows.extend(res.maf[res.consensus_name])
-            out.write(f"a blocks={res.block_id} loops={'true' if loops else 'false'}\n")
+        for hdr, rows in records:
+            out.write(hdr + "\n")
             _write_rows(out, rows)
 
 

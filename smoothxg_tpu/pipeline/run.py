@@ -59,6 +59,9 @@ class Config:
     add_consensus: bool = False
     write_msa_in_maf_format: str = ""
     merge_blocks: bool = False
+    preserve_unmerged_consensus: bool = False
+    contiguous_path_jaccard: float = 1.0
+    max_merged_groups_in_memory: int = 50
     # prep
     no_prep: bool = False
     node_chop: int = 100
@@ -149,21 +152,39 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                 consensus_base_name=consensus_base,
                 produce_maf=produce_maf,
                 engine=engine)
+        merge_outcome = None
+        if produce_maf or (consensus_base and cfg.merge_blocks):
+            from .merge import merge_blocks_pass
+            with phase(tag, "merging / grooming blocks"):
+                merge_outcome = merge_blocks_pass(
+                    results,
+                    merge_blocks=cfg.merge_blocks,
+                    consensus_base_name=consensus_base,
+                    add_consensus=bool(consensus_base),
+                    contiguous_path_jaccard=cfg.contiguous_path_jaccard,
+                    preserve_unmerged_consensus=cfg.preserve_unmerged_consensus,
+                    max_groups=cfg.max_merged_groups_in_memory)
+
         with phase(tag, "lacing and validating"):
-            smoothed, cons_names = lace(idx, results, path_seqs)
+            smoothed, cons_names = lace(
+                idx, results, path_seqs, merge_outcome=merge_outcome,
+                preserve_unmerged_consensus=cfg.preserve_unmerged_consensus,
+                consensus_base_name=consensus_base)
         if last:
             consensus_path_names = cons_names
 
         if produce_maf:
             hdr = maf_header(os.path.basename(cfg.gfa_in), idx.path_count(), {
                 "merge_blocks": str(cfg.merge_blocks).lower(),
+                "contiguous_path_jaccard": cfg.contiguous_path_jaccard,
                 "POA": ("abPOA" if cfg.use_abpoa else "SPOA")
                        + (" local" if params.local else " global"),
                 "max_block_weight": max_block_weight,
                 "max_poa_length": max_poa_length,
             })
             with phase(tag, f"writing MAF {cfg.write_msa_in_maf_format}"):
-                write_maf(cfg.write_msa_in_maf_format, hdr, results)
+                write_maf(cfg.write_msa_in_maf_format, hdr,
+                          merge_outcome.maf_records)
 
         out_path = cfg.smoothed_out if last else os.path.join(
             tmpdir, f"{os.path.basename(cfg.gfa_in)}.smooth.{it}.gfa")

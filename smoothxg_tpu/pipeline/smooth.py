@@ -54,6 +54,10 @@ class BlockResult:
     path_mappings: list[tuple[int, int, int, int]]
     consensus_name: str | None
     maf: dict[str, list[MafRow]] | None
+    # True when the block graph's lowest-original-path first step is reverse;
+    # drives the groom flip when the MAF/merge machinery is active
+    # (reference: src/smooth.cpp:1800-1829)
+    groom_flip: bool = False
 
 
 @dataclass
@@ -277,17 +281,11 @@ def _finalize_block(idx: FlatIndex, st: _BlockState, add_consensus: bool,
     bg = bg.unchop()
     bg = bg.compact(bg.topological_order())
 
-    # groom flip: when the MAF machinery is active the reference flips blocks
-    # whose lowest-original-path first step is reverse, so the forward strand
-    # of the lowest-ranked path reads forward (reference: src/smooth.cpp:
-    # 1800-1829 flip decision, 2324-2408 flip pass)
-    if produce_maf and st.ranges:
+    groom_flip = False
+    if st.ranges:
         target_ri = min(range(len(st.ranges)), key=lambda i: st.ranges[i].pid)
         tsteps = bg.path_steps[target_ri]
-        if tsteps and (tsteps[0] & 1):
-            bg = _flip_block_graph(bg, consensus_name)
-            if maf is not None:
-                _flip_maf(maf, consensus_name)
+        groom_flip = bool(tsteps and (tsteps[0] & 1))
 
     # per-range path mapping (reference: src/smooth.cpp:2256-2269)
     mappings = []
@@ -295,7 +293,7 @@ def _finalize_block(idx: FlatIndex, st: _BlockState, add_consensus: bool,
         p0 = int(idx.path_pos[pr.pid][pr.begin])
         p1 = int(idx.path_pos[pr.pid][pr.end])
         mappings.append((pr.pid, p0, p1, ri + 1))
-    return BlockResult(bid, bg, mappings, consensus_name, maf)
+    return BlockResult(bid, bg, mappings, consensus_name, maf, groom_flip)
 
 
 def _flip_block_graph(bg: MutableGraph, consensus_name: str | None) -> MutableGraph:
