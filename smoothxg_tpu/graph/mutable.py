@@ -290,7 +290,59 @@ class MutableGraph:
                 out.extend(map_handle(h))
         return g
 
-    def unchop(self) -> "MutableGraph":
+    # ---- flat-array interop (native graphcore + device export) ----
+
+    def to_arrays(self):
+        """Export as flat arrays (requires dense 1..N ids; compact() first
+        otherwise): (seq_buf u8, node_off i64[n+1], edges i64[2m] handle
+        pairs, path_off i64[p+1], steps i64)."""
+        ids = [n for n in self._order if n in self.seqs]
+        n = len(ids)
+        assert ids == list(range(1, n + 1)), "to_arrays needs compact ids"
+        seq_cat = "".join(self.seqs[i] for i in ids)
+        seq_buf = np.frombuffer(seq_cat.encode(), dtype=np.uint8).copy()
+        node_off = np.zeros(n + 1, dtype=np.int64)
+        node_off[1:] = np.cumsum([len(self.seqs[i]) for i in ids])
+        epairs: list[int] = []
+        for a, b in self.edges():
+            epairs.append(a)
+            epairs.append(b)
+        edges = np.array(epairs, dtype=np.int64)
+        path_off = np.zeros(len(self.path_steps) + 1, dtype=np.int64)
+        path_off[1:] = np.cumsum([len(s) for s in self.path_steps])
+        steps = np.array([h for s in self.path_steps for h in s], dtype=np.int64)
+        return seq_buf, node_off, edges, path_off, steps
+
+    @classmethod
+    def from_arrays(cls, seq_buf, node_off, edges, path_off, steps,
+                    path_names) -> "MutableGraph":
+        g = cls()
+        n = len(node_off) - 1
+        sb = bytes(seq_buf)
+        for i in range(n):
+            g.create_handle(sb[node_off[i]:node_off[i + 1]].decode())
+        for i in range(0, len(edges), 2):
+            g.create_edge(int(edges[i]), int(edges[i + 1]))
+        for p, name in enumerate(path_names):
+            pid = g.create_path(name)
+            g.path_steps[pid] = [int(h) for h in
+                                 steps[path_off[p]:path_off[p + 1]]]
+        return g
+
+    def _native_unchop(self) -> "MutableGraph | None":
+        """unchop + toposort + renumber in one native call
+        (native/graphcore.cpp). None if unavailable or ids not dense."""
+        from ..native_bindings import unchop_arrays
+        ids = [n for n in self._order if n in self.seqs]
+        if ids != list(range(1, len(ids) + 1)):
+            return None
+        out = unchop_arrays(*self.to_arrays(), do_unchop=True,
+                            do_toposort=False)
+        if out is None:
+            return None
+        return MutableGraph.from_arrays(*out, self.path_names)
+
+    def unchop(self, native: bool = True) -> "MutableGraph":
         """Merge maximal non-branching runs of nodes into single nodes,
         preserving all path sequences exactly
         (reference: odgi unchop via src/main.cpp:1011, src/smooth.cpp:538).
@@ -300,6 +352,10 @@ class MutableGraph:
         exactly one edge, a != b (as nodes), and every path traversal of a
         continues into b (and every traversal of b comes from a) — i.e. no
         path begins or ends between them and no other traversals exist."""
+        if native:
+            g = self._native_unchop()
+            if g is not None:
+                return g
         steps_at: dict[int, list[tuple[int, int]]] = self.steps_index()
 
         def linkable(a: int, b: int) -> bool:

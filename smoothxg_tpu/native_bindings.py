@@ -1,0 +1,86 @@
+"""ctypes bindings for the native graphcore library (native/graphcore.cpp).
+
+The native layer implements the host runtime's hottest graph transform —
+unchop + toposort + renumber over flat arrays — in C++ (the reference uses
+odgi's C++ for the same ops; see native/graphcore.cpp).  Falls back to the
+pure-Python implementation when the library is not built.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "native", "libgraphcore.so")
+
+
+def load() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path):
+        # attempt an in-tree build (g++ is available in the image)
+        try:
+            subprocess.run(["make", "-C", os.path.dirname(path)],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    p64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.gc_unchop.restype = ctypes.c_void_p
+    lib.gc_unchop.argtypes = [i64, pu8, p64, i64, p64, i64, p64, p64,
+                              ctypes.c_int, ctypes.c_int]
+    for f in ("gc_n_nodes", "gc_seq_len", "gc_n_edges", "gc_n_steps"):
+        getattr(lib, f).restype = i64
+        getattr(lib, f).argtypes = [ctypes.c_void_p]
+    lib.gc_copy.restype = None
+    lib.gc_copy.argtypes = [ctypes.c_void_p, pu8, p64, p64, p64, p64, i64]
+    lib.gc_free.restype = None
+    lib.gc_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return _LIB
+
+
+def unchop_arrays(seq_buf: np.ndarray, node_off: np.ndarray,
+                  edges: np.ndarray, path_off: np.ndarray,
+                  steps: np.ndarray, do_unchop: bool = True,
+                  do_toposort: bool = True):
+    """Run native unchop(+toposort+renumber); returns the same array tuple.
+    Returns None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(node_off) - 1
+    n_paths = len(path_off) - 1
+    r = lib.gc_unchop(n, seq_buf, node_off, len(edges) // 2,
+                      edges.reshape(-1), n_paths, path_off, steps,
+                      int(do_unchop), int(do_toposort))
+    try:
+        n2 = lib.gc_n_nodes(r)
+        sl = lib.gc_seq_len(r)
+        ne = lib.gc_n_edges(r)
+        ns = lib.gc_n_steps(r)
+        seq2 = np.zeros(max(sl, 1), dtype=np.uint8)
+        off2 = np.zeros(n2 + 1, dtype=np.int64)
+        edges2 = np.zeros(max(2 * ne, 1), dtype=np.int64)
+        poff2 = np.zeros(n_paths + 1, dtype=np.int64)
+        steps2 = np.zeros(max(ns, 1), dtype=np.int64)
+        lib.gc_copy(r, seq2, off2, edges2, poff2, steps2, n_paths)
+        return seq2[:sl], off2, edges2[:2 * ne], poff2, steps2[:ns]
+    finally:
+        lib.gc_free(r)

@@ -224,9 +224,11 @@ def _make_fn(B: int, V: int, Lp1: int, P: int, local: bool):
         bv0 = jnp.full((B,), NEG, dtype=jnp.int32)
         bi0 = jnp.zeros((B,), dtype=jnp.int32)
         bj0 = jnp.zeros((B,), dtype=jnp.int32)
+        # unroll: XLA compile time scales superlinearly with loop trip count
+        # (tunnel compiles are minutes); 16 bodies per trip cuts it ~5x
         (H, E1, E2, bv, bi, bj, _), tabs = jax.lax.scan(
             step, (H0, E10, E20, bv0, bi0, bj0, jnp.int32(1)),
-            (base, pred))
+            (base, pred), unroll=16)
         HQbp, Hsel, E1bp, E2bp, Fo1, Fo2 = tabs    # each [V, B, Lp1]
 
         if not local:
@@ -361,7 +363,8 @@ class JaxPOAEngine:
                 results[t] = []
                 continue
             maxp = max((len(graph.preds[v]) for v in order), default=1)
-            if maxp > self.max_pred or L > 30000:
+            if (maxp > self.max_pred and self.uniform_shape is None) \
+                    or L > 30000:
                 results[t] = self.host.align(graph, seq, p)
                 self.fallbacks += 1
                 continue
@@ -371,11 +374,10 @@ class JaxPOAEngine:
                     results[t] = self.host.align(graph, seq, p)
                     self.fallbacks += 1
                     continue
-                PB = 8
-                if maxp > 8:
-                    results[t] = self.host.align(graph, seq, p)
-                    self.fallbacks += 1
-                    continue
+                PB = 16
+                # nodes with more predecessors get the PB topologically
+                # nearest ones (valid, possibly sub-optimal alignments; the
+                # path-reconstruction oracle is unaffected)
             else:
                 VB = _bucket(V)
                 LB = _bucket(L)
@@ -419,6 +421,9 @@ class JaxPOAEngine:
             for r, v in enumerate(order):
                 base[r, b] = graph.base[v]
                 ps = graph.preds[v]
+                if len(ps) > PB:
+                    # keep the PB topologically nearest predecessors
+                    ps = sorted(ps, key=lambda u: -row_of[u])[:PB]
                 if ps:
                     for k, u in enumerate(ps):
                         pred[r, b, k] = row_of[u]

@@ -151,7 +151,8 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                 max_block_depth_for_padding_more=cfg.max_block_depth_for_padding_more,
                 consensus_base_name=consensus_base,
                 produce_maf=produce_maf,
-                engine=engine)
+                engine=engine,
+                abpoa_mode=cfg.use_abpoa)
         merge_outcome = None
         if produce_maf or (consensus_base and cfg.merge_blocks):
             from .merge import merge_blocks_pass

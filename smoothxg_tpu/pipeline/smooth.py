@@ -74,6 +74,7 @@ class _BlockState:
     graph: POAGraph | None = None
     params: POAParams | None = None
     padding: int = 0
+    abpoa_mode: bool = False
 
 
 class HostPOAEngine:
@@ -177,6 +178,7 @@ def smooth_blocks(
     consensus_base_name: str = "",
     produce_maf: bool = False,
     engine=None,
+    abpoa_mode: bool = False,
 ) -> list[BlockResult]:
     """Smooth every block; returns BlockResults in block-id order."""
     engine = engine or HostPOAEngine()
@@ -193,7 +195,9 @@ def smooth_blocks(
         if adaptive_poa_params:
             p = _adaptive_params(idx, block.path_ranges, params, kmer_size,
                                  max_block_depth_for_padding_more)
-        states.append(_extract_block(idx, path_seqs, block, bid, pad, p))
+        st = _extract_block(idx, path_seqs, block, bid, pad, p)
+        st.abpoa_mode = abpoa_mode
+        states.append(st)
 
     # round-synchronized POA: round 0 seeds the graph, round r aligns the
     # r-th unique sequence of every still-active block (device-batchable)
@@ -249,10 +253,15 @@ def _finalize_block(idx: FlatIndex, st: _BlockState, add_consensus: bool,
     kept: set[int] = set()
     for tp in trimmed:
         kept.update(tp)
-    # spoa-mode consensus keeps its full node set (incl. pad overlap),
-    # reference: build_odgi_SPOA include_consensus, src/smooth.cpp:2596-2609
-    cons_steps = list(cons_path)
-    kept.update(cons_steps)
+    if st.abpoa_mode:
+        # abPOA mode keeps only consensus steps on read-supported handles
+        # (reference: build_odgi_abPOA, src/smooth.cpp:2507-2523)
+        cons_steps = [v for v in cons_path if v in kept]
+    else:
+        # spoa-mode consensus keeps its full node set (incl. pad overlap),
+        # reference: build_odgi_SPOA include_consensus, src/smooth.cpp:2596-2609
+        cons_steps = list(cons_path)
+        kept.update(cons_steps)
 
     bg = MutableGraph()
     remap: dict[int, int] = {}
