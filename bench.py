@@ -47,7 +47,7 @@ def main() -> int:
 
     # ---- build the iteration-1 workload (target 700, the ctest config) ----
     g = read_gfa(REF_GFA)
-    g = prep(g, 100, use_sgd=False)
+    g = prep(g, 100, use_sgd=True)
     idx = FlatIndex(g)
     target = 700
     bs = smoothable_blocks(idx, target * 12, target, 5000, 5000)
@@ -91,7 +91,7 @@ def main() -> int:
     cfg = Config(
         gfa_in=REF_GFA, smoothed_out=os.path.join(tmp, "drb1.gfa"),
         n_haps=12, max_path_jump=5000, max_edge_jump=5000,
-        poa_length_targets=[700], use_sgd=False, add_consensus=True,
+        poa_length_targets=[700], use_sgd=True, add_consensus=True,
         engine=engine, tmp_base=tmp,
     )
     t0 = time.time()

@@ -88,43 +88,58 @@ def path_sgd_order(
     dev_count = jnp.asarray(step_path_count)
     dev_cdf = jnp.asarray(cdf, dtype=jnp.float32)
 
+    etas = jnp.asarray(eta_max * np.exp(-lam * np.arange(iter_max)),
+                       dtype=jnp.float32)
+    caps = jnp.asarray(
+        [zipf_space if t < iter_max * cooling_start else min(zipf_space, 1000)
+         for t in range(iter_max)], dtype=jnp.int32)
+    n_nodes = n
+
     @jax.jit
-    def one_iter(x, key, eta, space_cap):
-        k1, k2, k3 = jax.random.split(key, 3)
-        i1 = jax.random.randint(k1, (B,), 0, T)
-        u = jax.random.uniform(k2, (B,))
-        z = jnp.searchsorted(dev_cdf, u) + 1
-        z = jnp.minimum(z, space_cap).astype(jnp.int32)
-        sgn = jnp.where(jax.random.bernoulli(k3, 0.5, (B,)), 1, -1).astype(jnp.int32)
-        r1 = i1 - dev_start[i1]
-        cnt = dev_count[i1]
-        r2 = r1 + sgn * z
-        r2 = jnp.where((r2 < 0) | (r2 >= cnt), r1 - sgn * z, r2)
-        r2 = jnp.clip(r2, 0, cnt - 1)
-        i2 = dev_start[i1] + r2
-        n1, n2 = dev_node[i1], dev_node[i2]
-        d = jnp.abs(dev_pos[i1] - dev_pos[i2])
-        ok = (n1 != n2) & (d > 0)
-        d = jnp.maximum(d, 1e-3)
-        w = 1.0 / (d * d)
-        mu = jnp.minimum(eta * w, 1.0)
-        dx = x[n1] - x[n2]
-        mag = jnp.abs(dx) + 1e-9
-        delta = mu * (mag - d) / 2.0
-        rr = jnp.where(ok, delta / mag, 0.0)
-        upd = rr * dx
-        x = x.at[n1].add(-upd)
-        x = x.at[n2].add(upd)
+    def run(x, key):
+        def one_iter(t, carry):
+            x, key = carry
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            eta = etas[t]
+            space_cap = caps[t]
+            i1 = jax.random.randint(k1, (B,), 0, T)
+            u = jax.random.uniform(k2, (B,))
+            z = jnp.searchsorted(dev_cdf, u) + 1
+            z = jnp.minimum(z, space_cap).astype(jnp.int32)
+            sgn = jnp.where(jax.random.bernoulli(k3, 0.5, (B,)), 1, -1
+                            ).astype(jnp.int32)
+            r1 = i1 - dev_start[i1]
+            cnt = dev_count[i1]
+            r2 = r1 + sgn * z
+            r2 = jnp.where((r2 < 0) | (r2 >= cnt), r1 - sgn * z, r2)
+            r2 = jnp.clip(r2, 0, cnt - 1)
+            i2 = dev_start[i1] + r2
+            n1, n2 = dev_node[i1], dev_node[i2]
+            d = jnp.abs(dev_pos[i1] - dev_pos[i2])
+            ok = (n1 != n2) & (d > 0)
+            d = jnp.maximum(d, 1e-3)
+            mu = jnp.minimum(eta / (d * d), 1.0)
+            dx = x[n1] - x[n2]
+            mag = jnp.abs(dx) + 1e-9
+            delta = mu * (mag - d) / 2.0
+            rr = jnp.where(ok, delta / mag, 0.0)
+            upd = rr * dx
+            # the reference applies term updates Hogwild-sequentially; the
+            # batched equivalent averages conflicting per-node updates so
+            # simultaneous terms cannot compound into divergence
+            acc = jnp.zeros((n_nodes,), jnp.float32)
+            cnt_nd = jnp.zeros((n_nodes,), jnp.float32)
+            acc = acc.at[n1].add(-upd).at[n2].add(upd)
+            one = jnp.where(ok, 1.0, 0.0)
+            cnt_nd = cnt_nd.at[n1].add(one).at[n2].add(one)
+            x = x + acc / jnp.maximum(cnt_nd, 1.0)
+            return (x, key)
+        x, _ = jax.lax.fori_loop(0, iter_max, one_iter, (x, key))
         return x
 
     x = jnp.asarray(x0, dtype=jnp.float32)
     key = jax.random.PRNGKey(seed)
-    for t in range(iter_max):
-        key, sub = jax.random.split(key)
-        eta = eta_max * np.exp(-lam * t)
-        # cooling: restrict sampling to short ranges in late iterations
-        space_cap = zipf_space if t < iter_max * cooling_start else min(zipf_space, 1000)
-        x = one_iter(x, sub, jnp.float32(eta), jnp.int32(space_cap))
+    x = run(x, key)
     xh = np.asarray(jax.device_get(x), dtype=np.float64)
     order = np.argsort(xh, kind="stable")
     return [node_ids[i] for i in order]
