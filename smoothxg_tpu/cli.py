@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
     mrg.add_argument("-J", "--contiguous-path-jaccard", type=float, default=1.0)
     mrg.add_argument("-G", "--max-block-groups-in-memory", type=int, default=50)
 
+    dbg = p.add_argument_group("debugging")
+    dbg.add_argument("-B", "--write-block-stats", default="",
+                     help="write per-block POA statistics to this TSV")
+
     th = p.add_argument_group("threading / engine")
     th.add_argument("-t", "--threads", type=int, default=1)
     th.add_argument("-T", "--poa-threads", type=int, default=0)
@@ -168,6 +172,7 @@ def main(argv=None) -> int:
             use_sgd=not args.no_sgd,
             tmp_base=args.base,
             keep_temp=args.keep_temp,
+            block_stats=args.write_block_stats,
             engine=args.engine,
         )
         out, consensus_path_names = run_smoothing(cfg)

@@ -67,9 +67,10 @@ class Config:
     node_chop: int = 100
     sgd_term_updates: float = 1.0
     use_sgd: bool = True
-    # temp
+    # temp / debug
     tmp_base: str = ""
     keep_temp: bool = False
+    block_stats: str = ""     # TSV path (reference: POA_DEBUG block2stats)
     # engine: "host" (numpy oracle) | "jax" (batched TPU kernels)
     engine: str = "host"
 
@@ -152,7 +153,11 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                 consensus_base_name=consensus_base,
                 produce_maf=produce_maf,
                 engine=engine,
-                abpoa_mode=cfg.use_abpoa)
+                abpoa_mode=cfg.use_abpoa,
+                collect_stats=bool(cfg.block_stats) and last)
+        if cfg.block_stats and last:
+            from .smooth import write_block_stats
+            write_block_stats(cfg.block_stats, results)
         merge_outcome = None
         if produce_maf or (consensus_base and cfg.merge_blocks):
             from .merge import merge_blocks_pass

@@ -58,6 +58,7 @@ class BlockResult:
     # drives the groom flip when the MAF/merge machinery is active
     # (reference: src/smooth.cpp:1800-1829)
     groom_flip: bool = False
+    stats: dict | None = None
 
 
 @dataclass
@@ -179,6 +180,7 @@ def smooth_blocks(
     produce_maf: bool = False,
     engine=None,
     abpoa_mode: bool = False,
+    collect_stats: bool = False,
 ) -> list[BlockResult]:
     """Smooth every block; returns BlockResults in block-id order."""
     engine = engine or HostPOAEngine()
@@ -224,9 +226,65 @@ def smooth_blocks(
         _finalize_block(idx, st, add_consensus, consensus_base_name, produce_maf)
         for st in states
     ]
+    if collect_stats:
+        for st, res in zip(states, results):
+            res.stats = _block_stats(st, res)
     Log.info("smooth", f"smoothed {len(results)} blocks "
                        f"(max rounds {max_rounds})")
     return results
+
+
+# per-block metrics (reference: POA_DEBUG smoothxg_block2stats.tsv,
+# src/smooth.cpp:2291-2322)
+STATS_COLUMNS = [
+    "num.sequences", "num.dedup.sequences", "poa.padding",
+    "min.seq.len.no_pad", "avg.seq.len.no_pad", "max.seq.len.no_pad",
+    "min.seq.len", "avg.seq.len", "max.seq.len",
+    "xpoa.graph.nodes", "xpoa.graph.edges",
+    "smoothed.graph.len", "smoothed.graph.nodes", "smoothed.graph.edges",
+    "smoothed.graph.paths", "smoothed.graph.steps",
+]
+
+
+def _block_stats(st: _BlockState, res: BlockResult) -> dict:
+    pad = st.padding
+    plens = [len(s) for s in st.useqs] or [0]
+    lens = [max(p - 2 * pad, 0) for p in plens]
+    s: dict = {
+        "num.sequences": len(st.ranges),
+        "num.dedup.sequences": len(st.useqs),
+        "poa.padding": pad,
+        "min.seq.len.no_pad": min(lens), "max.seq.len.no_pad": max(lens),
+        "avg.seq.len.no_pad": round(sum(lens) / len(lens), 1),
+        "min.seq.len": min(plens), "max.seq.len": max(plens),
+        "avg.seq.len": round(sum(plens) / len(plens), 1),
+        "xpoa.graph.nodes": st.graph.n_nodes() if st.graph else 0,
+        "xpoa.graph.edges": len(st.graph.edge_w) if st.graph else 0,
+    }
+    bg = res.graph
+    if bg is not None:
+        s["smoothed.graph.len"] = bg.total_seq_len()
+        s["smoothed.graph.nodes"] = bg.node_count()
+        s["smoothed.graph.edges"] = bg.edge_count()
+        s["smoothed.graph.paths"] = bg.path_count()
+        s["smoothed.graph.steps"] = sum(len(x) for x in bg.path_steps)
+    else:
+        for k in ("smoothed.graph.len", "smoothed.graph.nodes",
+                  "smoothed.graph.edges", "smoothed.graph.paths",
+                  "smoothed.graph.steps"):
+            s[k] = 0
+    return s
+
+
+def write_block_stats(path: str, results: list[BlockResult]) -> None:
+    with open(path, "w") as f:
+        f.write("block.id\t" + "\t".join(STATS_COLUMNS) + "\n")
+        for res in results:
+            if res.stats is None:
+                continue
+            f.write(str(res.block_id) + "\t"
+                    + "\t".join(str(res.stats.get(c, "")) for c in STATS_COLUMNS)
+                    + "\n")
 
 
 def _finalize_block(idx: FlatIndex, st: _BlockState, add_consensus: bool,
