@@ -54,7 +54,9 @@ def main() -> int:
     bs = break_blocks(idx, bs, max_poa_length=2 * target)
     params = POAParams(local=True)
 
-    engine = JaxPOAEngine(uniform_shape=(2048, 2048))
+    # V covers late-round POA graph growth (padded seqs ~1.4k grow past 2k
+    # nodes as divergent haplotypes accumulate); one shape = one compile
+    engine = JaxPOAEngine(uniform_shape=(3072, 2048))
 
     # throughput workload: the DRB1 blockset replicated 16x (384 blocks) —
     # per-chip blocks/s for batched independent block POA, the unit that

@@ -110,25 +110,35 @@ def _compiled(B: int, V: int, Lp1: int, P: int, local: bool):
     return jax.jit(_make_fn(B, V, Lp1, P, local))
 
 
-def _make_fn(B: int, V: int, Lp1: int, P: int, local: bool):
-    """Build the (unjitted) fill+traceback function for a shape bucket."""
+def _make_fn(B: int, V: int, Lp1: int, P: int, local: bool,
+             use_int16: bool = True):
+    """Build the (unjitted) fill+traceback function for a shape bucket.
+
+    Scores are int16 when the shape permits (|score| bounded well inside
+    int16 for L <= ~8k with smoothxg penalty sets; E/F chains are clamped at
+    the sentinel, which is sound because values below it can never win a
+    max) — this halves the DP's HBM traffic, which is what the fill is
+    bound by."""
     import jax
     import jax.numpy as jnp
 
-    jidx = jnp.arange(Lp1, dtype=jnp.int32)
+    DT = jnp.int16 if (use_int16 and Lp1 <= 8200) else jnp.int32
+    NEGS = -16000 if DT == jnp.int16 else NEG
+    jidx = jnp.arange(Lp1, dtype=DT)
 
     def fill_and_trace(base, pred, seq, slen, nvalid, sink, par):
         # base: [V, B] int32 byte codes; pred: [V, B, P] int32 row indices
         # seq: [B, L] int32; slen, nvalid: [B]; sink: [B, V+1] bool
         # par: [B, 6] int32 (m, n, g, e, q, c)
-        m = par[:, 0][:, None]
-        n = par[:, 1][:, None]
-        g = par[:, 2][:, None]
-        e = par[:, 3][:, None]
-        q = par[:, 4][:, None]
-        c = par[:, 5][:, None]
+        pars = par.astype(DT)
+        m = pars[:, 0][:, None]
+        n = pars[:, 1][:, None]
+        g = pars[:, 2][:, None]
+        e = pars[:, 3][:, None]
+        q = pars[:, 4][:, None]
+        c = pars[:, 5][:, None]
 
-        H0 = jnp.full((B, V + 1, Lp1), NEG, dtype=jnp.int32)
+        H0 = jnp.full((B, V + 1, Lp1), NEGS, dtype=DT)
         if local:
             H0 = H0.at[:, 0, :].set(0)
         else:
@@ -136,8 +146,8 @@ def _make_fn(B: int, V: int, Lp1: int, P: int, local: bool):
                                  -(q + (jidx[None, 1:] - 1) * c))
             H0 = H0.at[:, 0, 0].set(0)
             H0 = H0.at[:, 0, 1:].set(gaprow)
-        E10 = jnp.full((B, V + 1, Lp1), NEG, dtype=jnp.int32)
-        E20 = jnp.full((B, V + 1, Lp1), NEG, dtype=jnp.int32)
+        E10 = jnp.full((B, V + 1, Lp1), NEGS, dtype=DT)
+        E20 = jnp.full((B, V + 1, Lp1), NEGS, dtype=DT)
         colmask = (jidx[None, :] <= slen[:, None])           # [B, Lp1]
 
         def step(carry, xs):
@@ -150,8 +160,8 @@ def _make_fn(B: int, V: int, Lp1: int, P: int, local: bool):
 
             Hpmax = jnp.max(Hp, axis=1)                      # [B, Lp1]
             pmH = jnp.argmax(Hp, axis=1).astype(jnp.int8)    # [B, Lp1]
-            sub = jnp.where(seq == base_v[:, None], m, -n)   # [B, L]
-            M = jnp.full((B, Lp1), NEG, dtype=jnp.int32)
+            sub = jnp.where(seq == base_v[:, None], m, -n).astype(DT)
+            M = jnp.full((B, Lp1), NEGS, dtype=DT)
             M = M.at[:, 1:].set(Hpmax[:, :-1] + sub)
             mp = jnp.zeros((B, Lp1), dtype=jnp.int8)
             mp = mp.at[:, 1:].set(pmH[:, :-1])
@@ -159,13 +169,13 @@ def _make_fn(B: int, V: int, Lp1: int, P: int, local: bool):
             e1_open = Hpmax - g
             e1_extv = jnp.max(E1p, axis=1) - e
             e1_extp = jnp.argmax(E1p, axis=1).astype(jnp.int8)
-            e1 = jnp.maximum(jnp.maximum(e1_open, e1_extv), NEG)
+            e1 = jnp.maximum(jnp.maximum(e1_open, e1_extv), NEGS)
             e1bp = jnp.where(e1_open >= e1_extv,
                              jnp.int8(16) | pmH, e1_extp).astype(jnp.int8)
             e2_open = Hpmax - q
             e2_extv = jnp.max(E2p, axis=1) - c
             e2_extp = jnp.argmax(E2p, axis=1).astype(jnp.int8)
-            e2 = jnp.maximum(jnp.maximum(e2_open, e2_extv), NEG)
+            e2 = jnp.maximum(jnp.maximum(e2_open, e2_extv), NEGS)
             e2bp = jnp.where(e2_open >= e2_extv,
                              jnp.int8(16) | pmH, e2_extp).astype(jnp.int8)
 
@@ -193,8 +203,8 @@ def _make_fn(B: int, V: int, Lp1: int, P: int, local: bool):
             ji = jnp.broadcast_to(jidx[None, :], (B, Lp1)).astype(jnp.int16)
             cm1, ca1 = jax.lax.associative_scan(mx, (G1, ji), axis=1)
             cm2, ca2 = jax.lax.associative_scan(mx, (G2, ji), axis=1)
-            F1 = jnp.full((B, Lp1), NEG, dtype=jnp.int32)
-            F2 = jnp.full((B, Lp1), NEG, dtype=jnp.int32)
+            F1 = jnp.full((B, Lp1), NEGS, dtype=DT)
+            F2 = jnp.full((B, Lp1), NEGS, dtype=DT)
             F1 = F1.at[:, 1:].set(cm1[:, :-1] - g - e * (jidx[None, 1:] - 1))
             F2 = F2.at[:, 1:].set(cm2[:, :-1] - q - c * (jidx[None, 1:] - 1))
             fo1 = jnp.zeros((B, Lp1), dtype=jnp.int16).at[:, 1:].set(ca1[:, :-1])
@@ -210,7 +220,7 @@ def _make_fn(B: int, V: int, Lp1: int, P: int, local: bool):
 
             # running best (local mode), masked to valid rows/cols
             rowvalid = (v <= nvalid)                          # [B]
-            vals = jnp.where(colmask & rowvalid[:, None], Hrow, NEG)
+            vals = jnp.where(colmask & rowvalid[:, None], Hrow, NEGS)
             rmax = jnp.max(vals, axis=1)
             rarg = jnp.argmax(vals, axis=1).astype(jnp.int32)
             better = rmax > bv
@@ -221,7 +231,7 @@ def _make_fn(B: int, V: int, Lp1: int, P: int, local: bool):
             ys = (hqbp, hsel, e1bp, e2bp, fo1, fo2)
             return (H, E1, E2, bv, bi, bj, v + 1), ys
 
-        bv0 = jnp.full((B,), NEG, dtype=jnp.int32)
+        bv0 = jnp.full((B,), NEGS, dtype=DT)
         bi0 = jnp.zeros((B,), dtype=jnp.int32)
         bj0 = jnp.zeros((B,), dtype=jnp.int32)
         # unroll: XLA compile time scales superlinearly with loop trip count
@@ -234,7 +244,7 @@ def _make_fn(B: int, V: int, Lp1: int, P: int, local: bool):
         if not local:
             bidx = jnp.arange(B)
             hcol = H[bidx[:, None], jnp.arange(V + 1)[None, :], slen[:, None]]
-            hcol = jnp.where(sink, hcol, NEG)
+            hcol = jnp.where(sink, hcol, NEGS)
             bi = jnp.argmax(hcol, axis=1).astype(jnp.int32)
             bv = jnp.max(hcol, axis=1)
             bj = slen.astype(jnp.int32)
