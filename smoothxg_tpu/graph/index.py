@@ -154,6 +154,46 @@ class FlatIndex:
     def node_depth(self, node_id: int) -> int:
         return int(self.node_steps_start[node_id] - self.node_steps_start[node_id - 1])
 
+    # ---- serialization (reference: xg serialize/deserialize + -i flag,
+    # src/main.cpp:418-420, src/xg.hpp:225) ----
+    def save(self, path: str) -> None:
+        import io as _io
+        import json as _json
+        parts = {
+            "node_len": self.node_len,
+            "seq": self.seq,
+            "path_len": self.path_len,
+        }
+        for i, (st, po) in enumerate(zip(self.path_steps, self.path_pos)):
+            parts[f"steps_{i}"] = st
+            parts[f"pos_{i}"] = po
+        edges = np.array(self._edge_list, dtype=np.int64).reshape(-1, 2) \
+            if self._edge_list else np.zeros((0, 2), dtype=np.int64)
+        parts["edges"] = edges
+        parts["names"] = np.frombuffer(
+            _json.dumps(self.path_names).encode(), dtype=np.uint8)
+        np.savez_compressed(path, **parts)
+
+    @classmethod
+    def load(cls, path: str) -> "FlatIndex":
+        import json as _json
+        from .mutable import MutableGraph
+        z = np.load(path)
+        names = _json.loads(bytes(z["names"]).decode())
+        g = MutableGraph()
+        node_len = z["node_len"]
+        seq = bytes(z["seq"])
+        off = 0
+        for ln in node_len:
+            g.create_handle(seq[off:off + int(ln)].decode())
+            off += int(ln)
+        for a, b in z["edges"]:
+            g.create_edge(int(a), int(b))
+        for i, nm in enumerate(names):
+            pid = g.create_path(nm)
+            g.path_steps[pid] = [int(h) for h in z[f"steps_{i}"]]
+        return cls(g)
+
     # ---- strand accounting ----
     def rev_bp_in_window(self, pid: int, a: int, b: int) -> tuple[int, int]:
         """(fwd_bp, rev_bp) of path positions [a, b) by step orientation

@@ -13,6 +13,26 @@ from __future__ import annotations
 import numpy as np
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host initialization (jax.distributed). No-op when single-host
+    or when the JAX_COORDINATOR env vars are absent — block ids are global
+    and deterministic, so per-host shards merge without coordination beyond
+    the collectives themselves."""
+    import os
+
+    import jax
+
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coordinator:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")))
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "blocks"):
     import jax
     from jax.sharding import Mesh

@@ -1,0 +1,71 @@
+"""Mesh sharding + SGD kernel tests (8 virtual CPU devices)."""
+import numpy as np
+
+from smoothxg_tpu.graph.mutable import MutableGraph
+from smoothxg_tpu.ops.sgd import path_sgd_order
+
+
+def test_sgd_recovers_linear_order():
+    """A shuffled chain graph must come back to (nearly) path order."""
+    rng = np.random.default_rng(0)
+    n = 120
+    perm = list(rng.permutation(n))
+    g = MutableGraph()
+    # create nodes in shuffled storage order; the path visits them in the
+    # true linear order
+    handles = {}
+    for ix in perm:
+        handles[ix] = g.create_handle("ACGT")
+    pid = g.create_path("p")
+    for ix in range(n):
+        g.append_step(pid, handles[ix])
+    def linearity(gr):
+        steps = gr.path_steps[0]
+        return sum(abs((b >> 1) - (a >> 1)) for a, b in zip(steps, steps[1:]))
+
+    before = linearity(g.compact())
+    order = path_sgd_order(g, iter_max=100)
+    g2 = g.compact(order)
+    after = linearity(g2)
+    assert after < before / 4     # strong relative improvement
+    assert g2.path_seq(0) == "ACGT" * n
+
+
+def test_sharded_poa_round_runs_on_mesh():
+    import jax
+
+    from smoothxg_tpu.parallel.mesh import make_mesh, sharded_poa_round
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, "conftest should provide 8 virtual devices"
+    mesh = make_mesh(8)
+    B, V, L, P = 16, 64, 64, 4
+    rng = np.random.default_rng(1)
+    base = rng.integers(65, 85, (V, B)).astype(np.int32)
+    pred = np.zeros((V, B, P), dtype=np.int32)
+    for r in range(1, V):
+        pred[r, :, :] = r
+    seq = rng.integers(65, 85, (B, L)).astype(np.int32)
+    slen = np.full(B, L, dtype=np.int32)
+    nvalid = np.full(B, V, dtype=np.int32)
+    sink = np.zeros((B, V + 1), dtype=bool)
+    sink[:, V] = True
+    par = np.tile(np.array([[1, 4, 6, 2, 26, 1]], np.int32), (B, 1))
+    out, outpos, bv = sharded_poa_round(mesh, base, pred, seq, slen,
+                                        nvalid, sink, par)
+    assert out.shape[0] == B
+    assert np.asarray(outpos).min() > 0
+
+
+def test_flatindex_save_load(tmp_path, drb1_path):
+    from smoothxg_tpu.graph.index import FlatIndex
+    from smoothxg_tpu.io.gfa import read_gfa
+
+    idx = FlatIndex(read_gfa(drb1_path))
+    f = str(tmp_path / "idx.npz")
+    idx.save(f)
+    idx2 = FlatIndex.load(f)
+    assert idx2.n_nodes == idx.n_nodes
+    assert idx2.path_count() == idx.path_count()
+    for pid in (0, idx.path_count() - 1):
+        assert idx2.path_seq(pid) == idx.path_seq(pid)
