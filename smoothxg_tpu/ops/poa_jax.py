@@ -385,8 +385,8 @@ class JaxPOAEngine:
                     self.fallbacks += 1
                     continue
                 PB = 16
-                # nodes with more predecessors get the PB topologically
-                # nearest ones (valid, possibly sub-optimal alignments; the
+                # nodes with more predecessors keep their first PB (still
+                # valid, possibly sub-optimal alignments; the
                 # path-reconstruction oracle is unaffected)
             else:
                 VB = _bucket(V)
@@ -426,22 +426,33 @@ class JaxPOAEngine:
             graph, sq, p = tasks[t]
             order = graph.topo_order()
             orders.append(order)
-            row_of = {v: r + 1 for r, v in enumerate(order)}
             V, L = len(order), len(sq)
-            for r, v in enumerate(order):
-                base[r, b] = graph.base[v]
-                ps = graph.preds[v]
-                if len(ps) > PB:
-                    # keep the PB topologically nearest predecessors
-                    ps = sorted(ps, key=lambda u: -row_of[u])[:PB]
-                if ps:
-                    for k, u in enumerate(ps):
-                        pred[r, b, k] = row_of[u]
-                    for k in range(len(ps), PB):
-                        pred[r, b, k] = row_of[ps[0]]
-                # no preds: stays 0 (virtual source)
-                if not graph.succs[v]:
-                    sink[b, r + 1] = True
+            order_a = np.asarray(order, dtype=np.int64)
+            row_of = np.zeros(graph.n_nodes() + 1, dtype=np.int64)
+            row_of[order_a] = np.arange(1, V + 1)
+            base_a = np.asarray(graph.base, dtype=np.int32)
+            base[:V, b] = base_a[order_a]
+            # CSR of predecessor lists -> padded [V, PB] row-index matrix
+            plens = np.fromiter((len(graph.preds[v]) for v in order),
+                                dtype=np.int64, count=V)
+            flat = np.fromiter(
+                (u for v in order for u in graph.preds[v][:PB]),
+                dtype=np.int64, count=int(np.minimum(plens, PB).sum()))
+            kept = np.minimum(plens, PB)
+            rows = np.repeat(np.arange(V), kept)
+            cols = (np.arange(len(flat))
+                    - np.repeat(np.cumsum(kept) - kept, kept))
+            pr_mat = np.zeros((V, PB), dtype=np.int64)
+            pr_mat[rows, cols] = row_of[flat]
+            # pad unused slots with the first pred (or 0 = virtual source)
+            first = pr_mat[:, 0]
+            for k in range(1, PB):
+                empty = kept <= k
+                pr_mat[empty, k] = first[empty]
+            pred[:V, b, :] = pr_mat
+            has_succ = np.fromiter((len(graph.succs[v]) > 0 for v in order),
+                                   dtype=bool, count=V)
+            sink[b, 1:V + 1] = ~has_succ
             seq[b, :L] = sq
             slen[b] = L
             nvalid[b] = V
