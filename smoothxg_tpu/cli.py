@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     io = p.add_argument_group("files IO")
     io.add_argument("-n", "--no-prep", action="store_true")
+    io.add_argument("-i", "--in", dest="xg_in", default="",
+                    help="read the flat index from this file (skips graph "
+                         "load + prep on the first iteration)")
     io.add_argument("-b", "--base", default="", help="temp file base dir")
     io.add_argument("-K", "--keep-temp", action="store_true")
 
@@ -86,6 +89,13 @@ def build_parser() -> argparse.ArgumentParser:
     dbg = p.add_argument_group("debugging")
     dbg.add_argument("-B", "--write-block-stats", default="",
                      help="write per-block POA statistics to this TSV")
+    dbg.add_argument("-S", "--write-split-block-fastas", action="store_true",
+                     help="write FASTA sequences for split blocks to the "
+                          "temp dir")
+    dbg.add_argument("--write-poa-block-fastas", type=int, default=None,
+                     metavar="N",
+                     help="write FASTA sequences of blocks whose POA took "
+                          "at least N ms")
 
     th = p.add_argument_group("threading / engine")
     th.add_argument("-t", "--threads", type=int, default=1)
@@ -173,6 +183,9 @@ def main(argv=None) -> int:
             tmp_base=args.base,
             keep_temp=args.keep_temp,
             block_stats=args.write_block_stats,
+            xg_in=args.xg_in,
+            write_split_blocks=args.write_split_block_fastas,
+            write_poa_blocks_ms=args.write_poa_block_fastas,
             engine=args.engine,
         )
         out, consensus_path_names = run_smoothing(cfg)

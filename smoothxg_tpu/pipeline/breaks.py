@@ -50,11 +50,12 @@ def break_blocks(
     min_dedup_depth_for_mash_clustering: int = 12000,
     order_paths_from_longest: bool = True,
     break_repeats: bool = True,
+    write_split_blocks_dir: str = "",
 ) -> Blockset:
     out = Blockset()
     n_cut = n_repeat = n_split = 0
 
-    for block in blockset:
+    for in_bid, block in enumerate(blockset):
         block = _cut_block(idx, block, max_poa_length, min_copy_length,
                            max_copy_length, min_autocorr_z, autocorr_stride,
                            order_paths_from_longest, break_repeats,
@@ -74,6 +75,10 @@ def break_blocks(
         )
         if len(splits) > 1:
             n_split += 1
+            if write_split_blocks_dir:
+                # debug FASTA dump of split blocks
+                # (reference: -S, src/breaks.cpp POA_DEBUG fasta output)
+                _write_split_fastas(idx, write_split_blocks_dir, in_bid, splits)
         for b in splits:
             out.add_block(b)
 
@@ -81,6 +86,17 @@ def break_blocks(
              f"cut {n_cut} blocks of which {n_repeat} had repeats; "
              f"split {n_split} blocks -> {len(out)} blocks")
     return out
+
+
+def _write_split_fastas(idx, outdir, in_bid, splits) -> None:
+    import os
+    os.makedirs(outdir, exist_ok=True)
+    for gi, b in enumerate(splits):
+        path = os.path.join(outdir, f"split_block_{in_bid}_{gi}.fa")
+        with open(path, "w") as f:
+            for pr in b.path_ranges:
+                name = f"{idx.get_path_name(pr.pid)}_{pr.begin}_{pr.end}"
+                f.write(f">{name}\n{idx.range_seq(pr.pid, pr.begin, pr.end)}\n")
 
 
 def _cut_block(idx, block, max_poa_length, min_copy_length, max_copy_length,

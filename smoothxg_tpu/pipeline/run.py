@@ -71,6 +71,9 @@ class Config:
     tmp_base: str = ""
     keep_temp: bool = False
     block_stats: str = ""     # TSV path (reference: POA_DEBUG block2stats)
+    xg_in: str = ""           # load a saved FlatIndex for iteration 1 (-i)
+    write_split_blocks: bool = False      # -S split-block FASTA dumps
+    write_poa_blocks_ms: int | None = None  # dump blocks slower than N ms
     # engine: "host" (numpy oracle) | "jax" (batched TPU kernels)
     engine: str = "host"
 
@@ -102,17 +105,23 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
         max_poa_length = cfg.max_poa_length or 2 * target
         max_block_weight = cfg.max_block_weight or target * cfg.n_haps
 
-        with phase(tag, f"loading graph {path_input}"):
-            g = read_gfa(path_input)
-        if not cfg.no_prep:
-            with phase(tag, "prepping graph"):
-                g = prep(g, cfg.node_chop, use_sgd=cfg.use_sgd,
-                         sgd_term_updates=cfg.sgd_term_updates)
+        if it == 0 and cfg.xg_in and os.path.exists(cfg.xg_in):
+            # -i: load a pre-built index instead of graph load + prep
+            # (reference: src/main.cpp:418-420)
+            with phase(tag, f"loading index {cfg.xg_in}"):
+                idx = FlatIndex.load(cfg.xg_in)
         else:
-            g = g.compact()
-        with phase(tag, "building flat index"):
-            idx = FlatIndex(g)
-            path_seqs = [idx.path_seq(p) for p in range(idx.path_count())]
+            with phase(tag, f"loading graph {path_input}"):
+                g = read_gfa(path_input)
+            if not cfg.no_prep:
+                with phase(tag, "prepping graph"):
+                    g = prep(g, cfg.node_chop, use_sgd=cfg.use_sgd,
+                             sgd_term_updates=cfg.sgd_term_updates)
+            else:
+                g = g.compact()
+            with phase(tag, "building flat index"):
+                idx = FlatIndex(g)
+        path_seqs = [idx.path_seq(p) for p in range(idx.path_count())]
 
         with phase(tag, "finding blocks"):
             blockset = smoothable_blocks(
@@ -135,7 +144,8 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                     else cfg.block_group_identity),
                 kmer_size=cfg.kmer_size,
                 min_dedup_depth_for_block_splitting=cfg.min_dedup_depth_for_block_splitting,
-                min_dedup_depth_for_mash_clustering=cfg.min_dedup_depth_for_mash_clustering)
+                min_dedup_depth_for_mash_clustering=cfg.min_dedup_depth_for_mash_clustering,
+                write_split_blocks_dir=(tmpdir if cfg.write_split_blocks else ""))
 
         m, n, gp, e, q, c = cfg.poa_params
         params = POAParams(m, n, gp, e, q, c,
@@ -154,7 +164,9 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                 produce_maf=produce_maf,
                 engine=engine,
                 abpoa_mode=cfg.use_abpoa,
-                collect_stats=bool(cfg.block_stats) and last)
+                collect_stats=bool(cfg.block_stats) and last,
+                write_poa_blocks_ms=cfg.write_poa_blocks_ms,
+                fasta_dir=tmpdir)
         if cfg.block_stats and last:
             from .smooth import write_block_stats
             write_block_stats(cfg.block_stats, results)

@@ -76,6 +76,7 @@ class _BlockState:
     params: POAParams | None = None
     padding: int = 0
     abpoa_mode: bool = False
+    poa_ms: float = 0.0              # attributed POA wall time
 
 
 class HostPOAEngine:
@@ -181,6 +182,8 @@ def smooth_blocks(
     engine=None,
     abpoa_mode: bool = False,
     collect_stats: bool = False,
+    write_poa_blocks_ms: int | None = None,
+    fasta_dir: str = ".",
 ) -> list[BlockResult]:
     """Smooth every block; returns BlockResults in block-id order."""
     engine = engine or HostPOAEngine()
@@ -218,9 +221,13 @@ def smooth_blocks(
                 owners.append((st, es[r], st.weights[r]))
         if not tasks:
             break
+        import time as _time
+        t0 = _time.perf_counter()
         alns = engine.align_batch(tasks)
+        ms_each = (_time.perf_counter() - t0) * 1e3 / len(tasks)
         for (st, e, w), aln in zip(owners, alns):
             st.graph.add_alignment(aln, e, w)
+            st.poa_ms += ms_each
 
     results = [
         _finalize_block(idx, st, add_consensus, consensus_base_name, produce_maf)
@@ -229,6 +236,20 @@ def smooth_blocks(
     if collect_stats:
         for st, res in zip(states, results):
             res.stats = _block_stats(st, res)
+    if write_poa_blocks_ms is not None:
+        # dump FASTAs of blocks whose POA took >= threshold ms
+        # (reference: POA_DEBUG write_block_fastas, src/smooth.cpp:2095-2110)
+        import os
+        os.makedirs(fasta_dir, exist_ok=True)
+        for st in states:
+            if st.poa_ms >= write_poa_blocks_ms and st.useqs:
+                p = os.path.join(fasta_dir,
+                                 f"poa_block_{st.block_id}_"
+                                 f"{int(st.poa_ms)}ms.fa")
+                with open(p, "w") as f:
+                    for urank, seq in enumerate(st.useqs):
+                        f.write(f">{st.dup_names[urank][0]}"
+                                f" weight={st.weights[urank]}\n{seq}\n")
     Log.info("smooth", f"smoothed {len(results)} blocks "
                        f"(max rounds {max_rounds})")
     return results
