@@ -34,7 +34,8 @@ def main() -> int:
     from smoothxg_tpu.graph.index import FlatIndex
     from smoothxg_tpu.io.gfa import read_gfa
     from smoothxg_tpu.ops.poa_host import POAParams
-    from smoothxg_tpu.ops.poa_jax import JaxPOAEngine, ensure_backend
+    from smoothxg_tpu.ops.poa_jax import ensure_backend
+    from smoothxg_tpu.ops.poa_pallas import PallasPOAEngine
     from smoothxg_tpu.pipeline.blocks import smoothable_blocks
     from smoothxg_tpu.pipeline.breaks import break_blocks
     from smoothxg_tpu.pipeline.prep import prep
@@ -54,9 +55,12 @@ def main() -> int:
     bs = break_blocks(idx, bs, max_poa_length=2 * target)
     params = POAParams(local=True)
 
-    # V covers late-round POA graph growth (padded seqs ~1.4k grow past 2k
-    # nodes as divergent haplotypes accumulate); one shape = one compile
-    engine = JaxPOAEngine(uniform_shape=(3072, 2048))
+    # Pallas kernel: ONE pinned shape, V/L are dynamic loop bounds inside
+    # the kernel; large batch amortizes the per-dispatch tunnel latency
+    engine = PallasPOAEngine(max_batch=128)
+    t0 = time.time()
+    engine.warmup(locals_=(True,), preds=(4, 8))
+    prewarm_s = time.time() - t0
 
     # throughput workload: the DRB1 blockset replicated 16x (384 blocks) —
     # per-chip blocks/s for batched independent block POA, the unit that
@@ -74,8 +78,8 @@ def main() -> int:
                              engine=eng)
 
     t0 = time.time()
-    run_once(engine, bs)          # warmup: compiles all shapes
-    warmup_s = time.time() - t0
+    run_once(engine, bs)          # warmup: any residual variant compiles
+    warmup_s = time.time() - t0 + prewarm_s
 
     t0 = time.time()
     results = run_once(engine, big)

@@ -4,9 +4,9 @@ One grid program per block; the entire DP state (H, Hq, E1, E2) lives in
 VMEM (v5e exposes ~128 MB), so the fill performs no HBM traffic and the
 traceback walks VMEM values, emitting only the move list. Loop bounds are
 the block's *actual* V and L (dynamic fori/while), so padded batch slots
-cost nothing. Mosaic compiles this in seconds — unlike the XLA scan
-formulation whose remote compiles cost minutes (docs/DESIGN.md) — which
-removes the shape-bucketing pressure entirely.
+cost almost nothing — the engine pins ONE uniform shape and a fixed batch
+size, so the expensive axon remote-AOT compile happens once per
+(P, local) variant.
 
 Recurrences identical to the scalar oracle (ops/poa_host.py):
   M[v]  = shift(maxP H[pred]) + sub
@@ -22,12 +22,17 @@ inner backward scan before emitting, so channel choice is exact.
 
 Mosaic TPU constraints shape the memory layout (discovered empirically):
   * no dynamic *lane* indexing — DP cells at dynamic column j are read with
-    a masked lane-reduction over the row; per-node scalars (base, sink flag,
-    predecessor rows) are packed sublane-major in one (VW, 2+P) array so a
-    node's record is a dynamic-sublane slice with static lane extracts;
-  * no scalar stores to VMEM — the move list and meta live in SMEM;
+    a masked lane-reduction over the row;
+  * SMEM is ~1 MB with huge per-element padding — arrays cannot live there;
+    per-node records (base, sink, preds) are packed as int32 *planes* of
+    128 nodes per VMEM row (node v -> row v//128, lane v%128) and read by
+    masked lane-reduction; only true scalars (V, L, params) stay in SMEM;
+  * no scalar stores to VMEM — each traceback move is emitted as a packed
+    int32 code ((i+2)<<15 | (j+2)) broadcast-masked into lane 0 of its own
+    row of a VMEM moves buffer; XLA slices lane 0 before the D2H transfer;
+  * VMEM block slices need 128-aligned trailing dims;
   * int16 (16,128) tiling breaks single-row dynamic loads and int16 scalar
-    arithmetic miscompiles — scratch is int32.
+    arithmetic miscompiles — all state is int32.
 """
 from __future__ import annotations
 
@@ -37,6 +42,8 @@ import numpy as np
 
 NEG16 = -16000
 NEGBIG = -(1 << 30)
+SHIFT = 15
+MASK = (1 << SHIFT) - 1
 
 
 def _round_up(x: int, m: int) -> int:
@@ -44,7 +51,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool):
+def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool,
+                     B: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -52,11 +60,13 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool):
 
     DT = jnp.int32
     S = VW + LW + 8
-    NI = 2 + P   # per-node record: base, sink, P predecessor rows
+    NI = 2 + P      # per-node record fields: base, sink, P predecessor rows
+    VWr = VW // 128  # plane rows per field
 
     def kernel(slen_s, nv_s, par_s, ninfo_r, seq_r,
                moves_r, meta_r, H, Hq, E1, E2):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LW), 1)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
         def shift_right(x, k, fill):
             r = pltpu.roll(x, k, axis=1)
@@ -69,30 +79,32 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool):
                 k *= 2
             return x
 
-        # node record reads: dynamic sublane, static lane (ninfo row i-1
-        # describes DP row i)
-        def nbase(i):
-            return ninfo_r[pl.ds(i - 1, 1), 0:1][0, 0]
-
-        def nsink(i):
-            return ninfo_r[pl.ds(i - 1, 1), 1:2][0, 0]
+        # node record field k of DP row i (i>=1): plane row + masked reduce
+        def nrec(k, i):
+            t = i - 1
+            row = ninfo_r[0, pl.ds(k * VWr + (t // 128), 1), :]
+            return jnp.max(jnp.where(lane128 == (t % 128), row, NEGBIG))
 
         def npred(i, p):
-            return ninfo_r[pl.ds(i - 1, 1), (2 + p):(3 + p)][0, 0]
+            return nrec(2 + p, i)
 
         # DP cell at dynamic (i, j): row slice + masked lane reduction
         def cell(ref, i, j):
             row = ref[pl.ds(i, 1), :]
             return jnp.max(jnp.where(lane == j, row, NEGBIG))
 
-        L = slen_s[0, 0]
-        V = nv_s[0, 0]
-        m = par_s[0, 0]
-        n = par_s[0, 1]
-        g = par_s[0, 2]
-        e = par_s[0, 3]
-        q = par_s[0, 4]
-        c = par_s[0, 5]
+        def emit(pos, i, jv):
+            code = ((i + 2) << SHIFT) | (jv + 2)
+            moves_r[0, pl.ds(pos, 1), :] = jnp.where(lane128 == 0, code, 0)
+
+        L = slen_s[0, 0, 0]
+        V = nv_s[0, 0, 0]
+        m = par_s[0, 0, 0]
+        n = par_s[0, 0, 1]
+        g = par_s[0, 0, 2]
+        e = par_s[0, 0, 3]
+        q = par_s[0, 0, 4]
+        c = par_s[0, 0, 5]
 
         colmask = lane <= L
         ej = e * lane
@@ -100,7 +112,7 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool):
 
         # seq is packed with column j's character at lane j (host shifts by
         # one at packing time); lane 0 holds -1 (the j=0 boundary)
-        seqv = seq_r[0:1, :]
+        seqv = seq_r[0, 0:1, :]
 
         def seqat(j):
             return jnp.max(jnp.where(lane == j, seqv, -8))
@@ -132,7 +144,7 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool):
                 hmax = jnp.maximum(hmax, H[pl.ds(pr, 1), :])
                 e1mx = jnp.maximum(e1mx, E1[pl.ds(pr, 1), :])
                 e2mx = jnp.maximum(e2mx, E2[pl.ds(pr, 1), :])
-            base_v = nbase(v)
+            base_v = nrec(0, v)
             sub = jnp.where(seqv == base_v, m, -n)
             M = shift_right(hmax, 1, NEG16) + sub
             e1 = jnp.maximum(jnp.maximum(hmax - g, e1mx - e), NEG16)
@@ -170,7 +182,7 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool):
             def scan_sinks(v, acc):
                 bv_, bi_ = acc
                 hv = cell(H, v, L)
-                better = (nsink(v) > 0) & (hv > bv_)
+                better = (nrec(1, v) > 0) & (hv > bv_)
                 return (jnp.where(better, hv, bv_),
                         jnp.where(better, v, bi_))
             bv, bi = jax.lax.fori_loop(1, V + 1, scan_sinks,
@@ -212,7 +224,7 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool):
 
             ii = jnp.maximum(i, 1)   # safe row for node-record reads
             jm1 = jnp.maximum(j - 1, 0)
-            base_v = nbase(ii)
+            base_v = nrec(0, ii)
             subv = jnp.where(seqat(j) == base_v, m, -n)
 
             mfound = jnp.bool_(False)
@@ -255,8 +267,7 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool):
             @pl.when(take_f)
             def _():
                 def emit_ins(t, _):
-                    moves_r[0, npos + t, 0] = -1
-                    moves_r[0, npos + t, 1] = j - 1 - t
+                    emit(npos + t, -1, j - 1 - t)
                     return 0
                 jax.lax.fori_loop(0, j - forigin, emit_ins, 0)
 
@@ -288,8 +299,7 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool):
 
             @pl.when(ekick)
             def _():
-                moves_r[0, npos, 0] = i
-                moves_r[0, npos, 1] = -1
+                emit(npos, i, -1)
             nnpos = jnp.where(ekick, npos + 1, nnpos)
             ni = jnp.where(ekick, epred, ni)
             nchan = jnp.where(in_e & eopen, 0, nchan)
@@ -306,8 +316,7 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool):
             # --- M move ---
             @pl.when(take_m)
             def _():
-                moves_r[0, npos, 0] = i
-                moves_r[0, npos, 1] = j - 1
+                emit(npos, i, j - 1)
             nnpos = jnp.where(take_m, npos + 1, nnpos)
             ni = jnp.where(take_m, mpred, ni)
             nj = jnp.where(take_m, j - 1, nj)
@@ -317,8 +326,7 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool):
             # --- global leading insertion through row 0 ---
             @pl.when(lead)
             def _():
-                moves_r[0, npos, 0] = -1
-                moves_r[0, npos, 1] = j - 1
+                emit(npos, -1, j - 1)
             nnpos = jnp.where(lead, npos + 1, nnpos)
             nj = jnp.where(lead, j - 1, nj)
             nval = jnp.where(lead, getH(0, jm1), nval)
@@ -332,84 +340,132 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool):
             return (ni, nj, nchan, nval, nnpos, ndone, it + 1)
 
         done0 = (bv <= 0) if local else jnp.bool_(False)
+        done0 = done0 | (V == 0) | (L == 0)   # padded batch slots
         st = jax.lax.while_loop(
             tb_cond, tb_body,
             (bi, bj, jnp.int32(0), bv, jnp.int32(0), done0, jnp.int32(0)))
-        meta_r[0, 0] = st[4]
-        meta_r[0, 1] = bv
+        meta_r[0, 0, 0] = st[4]
+        meta_r[0, 0, 1] = bv
 
-    def build(B):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(B,),
-            in_specs=[
-                pl.BlockSpec((1, 1), lambda b: (b, 0),
-                             memory_space=pltpu.SMEM),       # slen
-                pl.BlockSpec((1, 1), lambda b: (b, 0),
-                             memory_space=pltpu.SMEM),       # nvalid
-                pl.BlockSpec((1, 6), lambda b: (b, 0),
-                             memory_space=pltpu.SMEM),       # par
-                pl.BlockSpec((1, VW, NI), lambda b: (b, 0, 0),
-                             memory_space=pltpu.VMEM),       # ninfo
-                pl.BlockSpec((1, LW), lambda b: (b, 0),
-                             memory_space=pltpu.VMEM),       # seq
-            ],
-            out_specs=[
-                pl.BlockSpec((1, S, 2), lambda b: (b, 0, 0),
-                             memory_space=pltpu.SMEM),       # moves
-                pl.BlockSpec((1, 2), lambda b: (b, 0),
-                             memory_space=pltpu.SMEM),       # meta
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((VW + 1, LW), DT),   # H
-                pltpu.VMEM((VW + 1, LW), DT),   # Hq
-                pltpu.VMEM((VW + 1, LW), DT),   # E1
-                pltpu.VMEM((VW + 1, LW), DT),   # E2
-            ],
-        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),       # slen
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),       # nvalid
+            pl.BlockSpec((1, 1, 6), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),       # par
+            pl.BlockSpec((1, NI * VWr, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),       # ninfo planes
+            pl.BlockSpec((1, 1, LW), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),       # seq
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),       # moves (lane 0)
+            pl.BlockSpec((1, 1, 2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),       # meta
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((VW + 1, LW), DT),   # H
+            pltpu.VMEM((VW + 1, LW), DT),   # Hq
+            pltpu.VMEM((VW + 1, LW), DT),   # E1
+            pltpu.VMEM((VW + 1, LW), DT),   # E2
+        ],
+    )
 
-        def kernel3d(slen_s, nv_s, par_s, ninfo_r, seq_r,
-                     moves_r, meta_r, H, Hq, E1, E2):
-            kernel(slen_s, nv_s, par_s, ninfo_r.at[0], seq_r,
-                   moves_r, meta_r, H, Hq, E1, E2)
+    pallas_fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 2), jnp.int32),
+        ],
+        interpret=interpret,
+    )
 
-        fn = pl.pallas_call(
-            kernel3d,
-            grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((B, S, 2), jnp.int32),
-                jax.ShapeDtypeStruct((B, 2), jnp.int32),
-            ],
-            interpret=interpret,
-        )
-        return jax.jit(fn)
+    def fn(slen, nv, par, ninfo, seq):
+        moves, meta = pallas_fn(slen, nv, par, ninfo, seq)
+        # lane-0 slice on device: only (B, S) codes cross the PCIe/tunnel
+        return moves[:, :, 0], meta[:, 0, :]
 
-    return build
+    jfn = jax.jit(fn)
+    holder = {}
+
+    def call(*args):
+        if "c" not in holder:
+            lowered = jfn.lower(*args)
+            try:
+                # the DP scratch exceeds XLA's default 16MB scoped-vmem
+                # budget; v5e has 128MB VMEM — raise the limit per-compile
+                # (TPU-only debug option; CPU/interpret rejects it)
+                holder["c"] = lowered.compile(compiler_options={
+                    "xla_tpu_scoped_vmem_limit_kib": 112640})
+            except Exception:
+                holder["c"] = lowered.compile()
+        return holder["c"](*args)
+
+    return call
 
 
 class PallasPOAEngine:
-    """Device engine backed by the Pallas kernel. Packing and bucketing
-    mirror JaxPOAEngine, but cheap Mosaic compiles mean shapes only bound
-    allocation — actual V/L are dynamic loop bounds inside the kernel."""
+    """Device engine backed by the Pallas kernel.
 
-    def __init__(self, max_pred: int = 8, vmem_budget_cells: int | None = None,
-                 max_batch: int = 64, interpret: bool = False):
+    One uniform (VW, LW) shape and a fixed batch size pin the compile count
+    to one per (P, local) variant; actual V/L are dynamic loop bounds inside
+    the kernel so padding costs almost nothing. Oversized tasks fall back to
+    the host DP (rare by construction: the pipeline bounds POA length)."""
+
+    # wide (most blocks) + tall-thin (high-divergence POA graphs: V ~ 2L);
+    # both ~100 MiB of DP scratch, the v5e scoped-vmem ceiling
+    SHAPES = ((3072, 2048), (4736, 1408))
+
+    def __init__(self, max_pred: int = 8, uniform_shapes: tuple = SHAPES,
+                 max_batch: int = 32, interpret: bool = False):
         from . import poa_host
         from .poa_jax import ensure_backend, _enable_compile_cache
         self.max_pred = max_pred
+        self.uniform_shapes = tuple(uniform_shapes)
         self.max_batch = max_batch
         self.interpret = interpret
         self.host = poa_host
         self.fallbacks = 0
+        self.fallback_reasons = {"V": 0, "L": 0, "P": 0}
         self.device_tasks = 0
         if not interpret:
             _enable_compile_cache()
             ensure_backend()
 
     def _dims(self, V: int, L: int):
+        """Smallest pinned shape that fits (None -> host fallback)."""
         if self.interpret:
-            return max(_round_up(V, 8), 8), max(_round_up(L + 1, 128), 128)
-        return max(_round_up(V, 256), 512), max(_round_up(L + 1, 256), 512)
+            return max(_round_up(V, 128), 128), max(_round_up(L + 1, 128), 128)
+        for VW, LW in self.uniform_shapes:
+            if V <= VW and L + 1 <= LW:
+                return VW, LW
+        return None
+
+    def warmup(self, locals_=(True,), preds=(4, 8)):
+        """Pre-compile the pinned kernel variants (axon AOT costs minutes;
+        do it once, up front)."""
+        import jax.numpy as jnp
+        B = self.max_batch
+        for (VW, LW) in self.uniform_shapes:
+          for local in locals_:
+            for PB in preds:
+                fn = _compiled_pallas(VW, LW, PB, local, self.interpret, B)
+                NI = 2 + PB
+                z = np.zeros((B, 1, 1), np.int32)
+                par = np.tile(np.array([[[1, 4, 6, 2, 26, 1]]], np.int32),
+                              (B, 1, 1))
+                ninfo = np.zeros((B, NI * (VW // 128), 128), np.int32)
+                seq = np.full((B, 1, LW), -1, np.int32)
+                moves, meta = fn(jnp.asarray(z), jnp.asarray(z),
+                                 jnp.asarray(par), jnp.asarray(ninfo),
+                                 jnp.asarray(seq))
+                np.asarray(meta)
 
     def align_batch(self, tasks):
         from collections import defaultdict
@@ -422,29 +478,41 @@ class PallasPOAEngine:
                 results[t] = []
                 continue
             maxp = max((len(graph.preds[v]) for v in order), default=1)
-            VW, LW = self._dims(V, L)
-            # VMEM: 4 int32 channels * (VW+1) * LW must stay under ~100MB
-            if VW * LW * 16 > 100e6 or L > 15000 or maxp > self.max_pred:
+            dims = self._dims(V, L)
+            if dims is None or maxp > self.max_pred:
                 results[t] = self.host.align(graph, seq, p)
                 self.fallbacks += 1
+                for k, bad in (("V", dims is None),
+                               ("P", maxp > self.max_pred)):
+                    if bad:
+                        self.fallback_reasons[k] += 1
                 continue
+            VW, LW = dims
             PB = 4 if maxp <= 4 else 8
             buckets[(VW, LW, PB, p.local)].append(t)
+        # launch every chunk first (jax dispatch is async), then decode:
+        # device execution overlaps host packing of later chunks and the
+        # decode of earlier ones
+        inflight = []
         for (VW, LW, PB, local), idxs in buckets.items():
             for s in range(0, len(idxs), self.max_batch):
-                self._run(tasks, idxs[s:s + self.max_batch], VW, LW, PB,
-                          local, results)
+                inflight.append(self._launch(
+                    tasks, idxs[s:s + self.max_batch], VW, LW, PB, local))
+        for handle in inflight:
+            self._decode(handle, results)
         return results
 
-    def _run(self, tasks, chunk, VW, LW, PB, local, results):
+    def _launch(self, tasks, chunk, VW, LW, PB, local):
         import jax.numpy as jnp
-        B = len(chunk)
+        # compiled mode pins B = max_batch (padded); interpret keeps B small
+        B = len(chunk) if self.interpret else self.max_batch
         NI = 2 + PB
-        slen = np.zeros((B, 1), dtype=np.int32)
-        nv = np.zeros((B, 1), dtype=np.int32)
-        par = np.zeros((B, 6), dtype=np.int32)
-        ninfo = np.zeros((B, VW, NI), dtype=np.int32)
-        seq = np.full((B, LW), -1, dtype=np.int32)
+        VWr = VW // 128
+        slen = np.zeros((B, 1, 1), dtype=np.int32)
+        nv = np.zeros((B, 1, 1), dtype=np.int32)
+        par = np.zeros((B, 1, 6), dtype=np.int32)
+        ninfo = np.zeros((B, NI * VWr, 128), dtype=np.int32)
+        seq = np.full((B, 1, LW), -1, dtype=np.int32)
         orders = []
         for b, t in enumerate(chunk):
             graph, sq, p = tasks[t]
@@ -454,7 +522,6 @@ class PallasPOAEngine:
             order_a = np.asarray(order, dtype=np.int64)
             row_of = np.zeros(graph.n_nodes() + 1, dtype=np.int64)
             row_of[order_a] = np.arange(1, V + 1)
-            ninfo[b, :V, 0] = np.asarray(graph.base, dtype=np.int32)[order_a]
             plens = np.fromiter((len(graph.preds[v]) for v in order),
                                 dtype=np.int64, count=V)
             kept = np.minimum(plens, PB)
@@ -470,31 +537,37 @@ class PallasPOAEngine:
             for k in range(1, PB):
                 empty = kept <= k
                 pm[empty, k] = first[empty]
-            ninfo[b, :V, 2:] = pm
-            ninfo[b, :V, 1] = np.fromiter(
+            planes = ninfo[b].reshape(NI, VWr * 128)
+            planes[0, :V] = np.asarray(graph.base, dtype=np.int32)[order_a]
+            planes[1, :V] = np.fromiter(
                 (0 if graph.succs[v] else 1 for v in order),
                 dtype=np.int32, count=V)
+            planes[2:2 + PB, :V] = pm.T
             # seq column 0 is the DP j=0 boundary; chars live at j=1..L
-            seq[b, 1:L + 1] = sq
-            slen[b, 0] = L
-            nv[b, 0] = V
-            par[b] = [p.m, p.n, p.g, p.e, p.q, p.c]
+            seq[b, 0, 1:L + 1] = sq
+            slen[b, 0, 0] = L
+            nv[b, 0, 0] = V
+            par[b, 0] = [p.m, p.n, p.g, p.e, p.q, p.c]
 
-        build = _compiled_pallas(VW, LW, PB, local, self.interpret)
-        fn = build(B)
-        moves, meta = fn(jnp.asarray(slen), jnp.asarray(nv),
+        fn = _compiled_pallas(VW, LW, PB, local, self.interpret, B)
+        codes, meta = fn(jnp.asarray(slen), jnp.asarray(nv),
                          jnp.asarray(par), jnp.asarray(ninfo),
                          jnp.asarray(seq))
-        moves = np.asarray(moves)
+        return chunk, orders, codes, meta
+
+    def _decode(self, handle, results):
+        chunk, orders, codes, meta = handle
+        codes = np.asarray(codes)
         meta = np.asarray(meta)
         self.device_tasks += len(chunk)
         for b, t in enumerate(chunk):
             order = orders[b]
             k = int(meta[b, 0])
             aln = []
-            for r, sp in moves[b, :k][::-1]:
+            for code in codes[b, :k][::-1]:
+                r = (int(code) >> SHIFT) - 2
+                sp = (int(code) & MASK) - 2
                 node = order[r - 1] if r >= 1 else None
-                # kernel emits seq positions 0-based already (j-1)
-                pos = int(sp) if sp >= 0 else None
+                pos = sp if sp >= 0 else None
                 aln.append((node, pos))
             results[t] = aln

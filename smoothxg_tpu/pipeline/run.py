@@ -84,6 +84,9 @@ def _make_engine(cfg: Config):
     if cfg.engine == "host":
         from .smooth import HostPOAEngine
         return HostPOAEngine()
+    if cfg.engine == "pallas":
+        from ..ops.poa_pallas import PallasPOAEngine
+        return PallasPOAEngine()
     from ..ops.poa_jax import JaxPOAEngine
     return JaxPOAEngine()
 

@@ -79,3 +79,17 @@ def test_pallas_batch_multiple_blocks(engine):
     for (g, s, _), a in zip(tasks, alns):
         ref = host_align(g, s, p)
         assert aln_score(g, s, a, p) == aln_score(g, s, ref, p)
+
+
+def test_shape_selection_and_fallback_reasons():
+    """Pinned-shape selection: wide first, tall-thin for high-V, None when
+    nothing fits (engine falls back to the host oracle)."""
+    eng = PallasPOAEngine.__new__(PallasPOAEngine)
+    eng.interpret = False
+    eng.uniform_shapes = PallasPOAEngine.SHAPES
+    assert eng._dims(1000, 1500) == (3072, 2048)
+    assert eng._dims(3072, 2047) == (3072, 2048)
+    assert eng._dims(4000, 1300) == (4736, 1408)
+    assert eng._dims(4736, 1407) == (4736, 1408)
+    assert eng._dims(5000, 1000) is None
+    assert eng._dims(4000, 1500) is None
