@@ -116,6 +116,8 @@ def main() -> int:
         "e2e_1iter_warm_s": round(e2e_1iter_s, 2),
         "device_tasks": engine.device_tasks,
         "host_fallbacks": engine.fallbacks,
+        "engine_calls": engine.calls,
+        "device_wait_s": round(engine.device_s, 2),
     }))
     return 0
 

@@ -215,10 +215,28 @@ class MutableGraph:
 
     def create_edges_from_paths(self) -> None:
         """Ensure every path adjacency exists as an edge
-        (reference: src/main.cpp:986-1008)."""
+        (reference: src/main.cpp:986-1008). Vectorized: step pairs are
+        side-encoded and deduplicated in numpy before touching adj."""
+        chunks = []
         for steps in self.path_steps:
-            for a, b in zip(steps, steps[1:]):
-                self.create_edge(a, b)
+            if len(steps) > 1:
+                s = np.asarray(steps, dtype=np.int64)
+                a, b = s[:-1], s[1:]
+                sa = (a >> 1 << 1) | (1 - (a & 1))   # out_side
+                sb = (b >> 1 << 1) | (b & 1)         # in_side
+                chunks.append((sa << 32) | sb)
+        if not chunks:
+            return
+        packed = np.unique(np.concatenate(chunks))
+        adj = self.adj
+        for key in packed.tolist():
+            x, y = key >> 32, key & 0xFFFFFFFF
+            lst = adj.setdefault(x, [])
+            if y in lst:
+                continue
+            lst.append(y)
+            if x != y:
+                adj.setdefault(y, []).append(x)
 
     def steps_index(self) -> dict[int, list[tuple[int, int]]]:
         """node_id -> [(path_id, step_rank)] over all paths."""

@@ -81,17 +81,27 @@ class POAGraph:
 
     # ---- sequence addition ----
     def add_sequence(self, seq: np.ndarray, weight: int) -> None:
-        """Add the first (or an unaligned) sequence as a fresh chain."""
-        path = []
-        prev = None
-        for b in seq:
-            v = self._new_node(int(b))
-            if prev is not None:
-                self._add_edge(prev, v, weight)
-            path.append(v)
-            prev = v
-        self.seq_paths.append(path)
+        """Add the first (or an unaligned) sequence as a fresh chain
+        (batched appends — this is a hot path for block seeding)."""
+        L = len(seq)
+        if L == 0:
+            self.seq_paths.append([])
+            self.seq_weights.append(weight)
+            return
+        v0 = len(self.base)
+        g0 = len(self.group_members)
+        codes = seq.tolist() if hasattr(seq, "tolist") else [int(b) for b in seq]
+        self.base.extend(int(b) for b in codes)
+        self.preds.extend([v0 + i - 1] if i else [] for i in range(L))
+        self.succs.extend([v0 + i + 1] if i < L - 1 else [] for i in range(L))
+        self.group.extend(range(g0, g0 + L))
+        self.group_members.extend([v0 + i] for i in range(L))
+        ew = self.edge_w
+        for i in range(L - 1):
+            ew[(v0 + i, v0 + i + 1)] = weight
+        self.seq_paths.append(list(range(v0, v0 + L)))
         self.seq_weights.append(weight)
+        self._topo = None
 
     def add_alignment(self, aln: list[tuple[int | None, int | None]],
                       seq: np.ndarray, weight: int) -> None:

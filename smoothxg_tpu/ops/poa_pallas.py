@@ -50,9 +50,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.lru_cache(maxsize=32)
-def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool,
-                     B: int):
+@functools.lru_cache(maxsize=64)
+def _pallas_fn(VW: int, LW: int, P: int, local: bool, interpret: bool,
+               B: int):
+    """The traceable (un-jitted) batched kernel callable — usable directly
+    or inside shard_map for multi-chip block sharding (parallel/mesh.py)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -60,6 +62,7 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool,
 
     DT = jnp.int32
     S = VW + LW + 8
+    MW = 8          # moves-buffer lane width (full trailing dim -> tiny DMA)
     NI = 2 + P      # per-node record fields: base, sink, P predecessor rows
     VWr = VW // 128  # plane rows per field
 
@@ -93,9 +96,11 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool,
             row = ref[pl.ds(i, 1), :]
             return jnp.max(jnp.where(lane == j, row, NEGBIG))
 
+        laneM = jax.lax.broadcasted_iota(jnp.int32, (1, MW), 1)
+
         def emit(pos, i, jv):
             code = ((i + 2) << SHIFT) | (jv + 2)
-            moves_r[0, pl.ds(pos, 1), :] = jnp.where(lane128 == 0, code, 0)
+            moves_r[0, pl.ds(pos, 1), :] = jnp.where(laneM == 0, code, 0)
 
         L = slen_s[0, 0, 0]
         V = nv_s[0, 0, 0]
@@ -363,7 +368,7 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool,
                          memory_space=pltpu.VMEM),       # seq
         ],
         out_specs=[
-            pl.BlockSpec((1, S, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, S, MW), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),       # moves (lane 0)
             pl.BlockSpec((1, 1, 2), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),       # meta
@@ -380,7 +385,7 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, S, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, MW), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 2), jnp.int32),
         ],
         interpret=interpret,
@@ -391,6 +396,15 @@ def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool,
         # lane-0 slice on device: only (B, S) codes cross the PCIe/tunnel
         return moves[:, :, 0], meta[:, 0, :]
 
+    return fn
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_pallas(VW: int, LW: int, P: int, local: bool, interpret: bool,
+                     B: int):
+    import jax
+
+    fn = _pallas_fn(VW, LW, P, local, interpret, B)
     jfn = jax.jit(fn)
     holder = {}
 
@@ -434,6 +448,9 @@ class PallasPOAEngine:
         self.fallbacks = 0
         self.fallback_reasons = {"V": 0, "L": 0, "P": 0}
         self.device_tasks = 0
+        self.calls = 0
+        self.device_s = 0.0          # blocking time waiting on device results
+        self.bucket_tasks = {}       # (VW, LW, P, local) -> task count
         if not interpret:
             _enable_compile_cache()
             ensure_backend()
@@ -467,7 +484,24 @@ class PallasPOAEngine:
                                  jnp.asarray(seq))
                 np.asarray(meta)
 
-    def align_batch(self, tasks):
+    def stats(self) -> dict:
+        """Observability counters (per-bucket task counts, dispatches,
+        blocking device wait) — the per-bucket blocks/s view the reference
+        exposed only as POA_DEBUG timing (src/smooth.cpp:2095)."""
+        return {
+            "device_tasks": self.device_tasks,
+            "fallbacks": self.fallbacks,
+            "fallback_reasons": dict(self.fallback_reasons),
+            "calls": self.calls,
+            "device_wait_s": round(self.device_s, 3),
+            "bucket_tasks": {str(k): v for k, v in self.bucket_tasks.items()},
+        }
+
+    def align_batch_async(self, tasks):
+        """Launch all device work for `tasks` and return a handle; host
+        fallbacks are computed eagerly. jax dispatch is async, so the caller
+        can do host work (graph updates, next-wave packing) while the device
+        executes, then call finish(handle)."""
         from collections import defaultdict
         results: list = [None] * len(tasks)
         buckets = defaultdict(list)
@@ -490,22 +524,41 @@ class PallasPOAEngine:
             VW, LW = dims
             PB = 4 if maxp <= 4 else 8
             buckets[(VW, LW, PB, p.local)].append(t)
-        # launch every chunk first (jax dispatch is async), then decode:
-        # device execution overlaps host packing of later chunks and the
-        # decode of earlier ones
         inflight = []
         for (VW, LW, PB, local), idxs in buckets.items():
             for s in range(0, len(idxs), self.max_batch):
                 inflight.append(self._launch(
                     tasks, idxs[s:s + self.max_batch], VW, LW, PB, local))
-        for handle in inflight:
-            self._decode(handle, results)
+        return results, inflight
+
+    def finish(self, handle):
+        """Block on and decode a handle from align_batch_async."""
+        results, inflight = handle
+        for h in inflight:
+            self._decode(h, results)
         return results
+
+    def align_batch(self, tasks):
+        return self.finish(self.align_batch_async(tasks))
 
     def _launch(self, tasks, chunk, VW, LW, PB, local):
         import jax.numpy as jnp
         # compiled mode pins B = max_batch (padded); interpret keeps B small
         B = len(chunk) if self.interpret else self.max_batch
+        slen, nv, par, ninfo, seq, orders = self._pack(
+            tasks, chunk, VW, LW, PB, B)
+        fn = _compiled_pallas(VW, LW, PB, local, self.interpret, B)
+        codes, meta = fn(jnp.asarray(slen), jnp.asarray(nv),
+                         jnp.asarray(par), jnp.asarray(ninfo),
+                         jnp.asarray(seq))
+        self.calls += 1
+        key = (VW, LW, PB, local)
+        self.bucket_tasks[key] = self.bucket_tasks.get(key, 0) + len(chunk)
+        return chunk, orders, codes, meta
+
+    @staticmethod
+    def _pack(tasks, chunk, VW, LW, PB, B):
+        """Pack `chunk` task indices into the kernel's device arrays."""
         NI = 2 + PB
         VWr = VW // 128
         slen = np.zeros((B, 1, 1), dtype=np.int32)
@@ -548,17 +601,15 @@ class PallasPOAEngine:
             slen[b, 0, 0] = L
             nv[b, 0, 0] = V
             par[b, 0] = [p.m, p.n, p.g, p.e, p.q, p.c]
-
-        fn = _compiled_pallas(VW, LW, PB, local, self.interpret, B)
-        codes, meta = fn(jnp.asarray(slen), jnp.asarray(nv),
-                         jnp.asarray(par), jnp.asarray(ninfo),
-                         jnp.asarray(seq))
-        return chunk, orders, codes, meta
+        return slen, nv, par, ninfo, seq, orders
 
     def _decode(self, handle, results):
+        import time as _time
         chunk, orders, codes, meta = handle
+        t0 = _time.perf_counter()
         codes = np.asarray(codes)
         meta = np.asarray(meta)
+        self.device_s += _time.perf_counter() - t0
         self.device_tasks += len(chunk)
         for b, t in enumerate(chunk):
             order = orders[b]

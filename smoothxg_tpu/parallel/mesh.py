@@ -70,6 +70,32 @@ def sharded_poa_round(mesh, base, pred, seq, slen, nvalid, sink, par,
     return jfn(base, pred, seq, slen, nvalid, sink, par)
 
 
+def sharded_pallas_round(mesh, slen, nv, par, ninfo, seq, *,
+                         VW: int, LW: int, P: int, local: bool = True,
+                         interpret: bool = False):
+    """One Pallas POA fill+traceback round with the block batch sharded over
+    the mesh via shard_map: each device runs the kernel on its B/n shard.
+    `interpret=True` runs the kernel interpreter (CPU meshes / dry-runs);
+    on a real multi-chip TPU slice leave it False."""
+    import jax
+    from jax.sharding import PartitionSpec as PS
+
+    from ..ops.poa_pallas import _pallas_fn
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    B = slen.shape[0]
+    assert B % n == 0, "batch not divisible by mesh"
+    fn = _pallas_fn(VW, LW, P, local, interpret, B // n)
+    s3 = PS(axis, None, None)
+    # check_vma=False: pallas_call's out_shape carries no vma annotation
+    sfn = jax.shard_map(fn, mesh=mesh,
+                        in_specs=(s3, s3, s3, s3, s3),
+                        out_specs=(PS(axis, None), PS(axis, None)),
+                        check_vma=False)
+    return jax.jit(sfn)(slen, nv, par, ninfo, seq)
+
+
 def dp_train_step(mesh, base, pred, seq, slen, nvalid, sink, par,
                   local: bool = True):
     """Alias used by the driver's multichip dry-run: one full data-parallel

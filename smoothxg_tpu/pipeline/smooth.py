@@ -213,21 +213,54 @@ def smooth_blocks(
         if es:
             st.graph = POAGraph()
             st.graph.add_sequence(es[0], st.weights[0])
-    for r in range(1, max_rounds):
+
+    import time as _time
+
+    def _tasks_for(pairs, r):
         tasks, owners = [], []
-        for st, es in zip(states, enc):
+        for st, es in pairs:
             if r < len(es):
                 tasks.append((st.graph, es[r], st.params))
                 owners.append((st, es[r], st.weights[r]))
-        if not tasks:
-            break
-        import time as _time
-        t0 = _time.perf_counter()
-        alns = engine.align_batch(tasks)
-        ms_each = (_time.perf_counter() - t0) * 1e3 / len(tasks)
+        return tasks, owners
+
+    def _apply(owners, alns, ms_each):
         for (st, e, w), aln in zip(owners, alns):
             st.graph.add_alignment(aln, e, w)
             st.poa_ms += ms_each
+
+    pairs = list(zip(states, enc))
+    if hasattr(engine, "align_batch_async") and len(pairs) > 3:
+        # two-wave pipeline: while wave w's round executes on the device,
+        # the host decodes/updates/launches the other wave — the TPU-native
+        # replacement for the reference's OMP dynamic scheduling overlap
+        waves = [pairs[0::2], pairs[1::2]]
+        wstate = []
+        for wave in waves:
+            tasks, owners = _tasks_for(wave, 1)
+            h = engine.align_batch_async(tasks) if tasks else None
+            wstate.append([1, h, owners, _time.perf_counter()])
+        while any(s[1] is not None for s in wstate):
+            for w, wave in enumerate(waves):
+                r, h, owners, t0 = wstate[w]
+                if h is None:
+                    continue
+                alns = engine.finish(h)
+                ms_each = (_time.perf_counter() - t0) * 1e3 / max(len(owners), 1)
+                _apply(owners, alns, ms_each)
+                r += 1
+                tasks, owners = _tasks_for(wave, r)
+                h = engine.align_batch_async(tasks) if tasks else None
+                wstate[w] = [r, h, owners, _time.perf_counter()]
+    else:
+        for r in range(1, max_rounds):
+            tasks, owners = _tasks_for(pairs, r)
+            if not tasks:
+                break
+            t0 = _time.perf_counter()
+            alns = engine.align_batch(tasks)
+            _apply(owners, alns,
+                   (_time.perf_counter() - t0) * 1e3 / len(tasks))
 
     results = [
         _finalize_block(idx, st, add_consensus, consensus_base_name, produce_maf)

@@ -69,3 +69,46 @@ def test_flatindex_save_load(tmp_path, drb1_path):
     assert idx2.path_count() == idx.path_count()
     for pid in (0, idx.path_count() - 1):
         assert idx2.path_seq(pid) == idx.path_seq(pid)
+
+
+def test_sharded_pallas_round_matches_single():
+    """The Pallas kernel sharded over the 8-device mesh (shard_map,
+    interpret) must produce the same moves as the single-device path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smoothxg_tpu.ops.poa_graph import POAGraph
+    from smoothxg_tpu.ops.poa_host import POAParams
+    from smoothxg_tpu.ops.poa_pallas import PallasPOAEngine, _pallas_fn
+    from smoothxg_tpu.parallel.mesh import make_mesh, sharded_pallas_round
+    from smoothxg_tpu.utils.dna import encode_seq
+
+    rng = np.random.default_rng(5)
+    p = POAParams(local=True)
+    tasks = []
+    for b in range(8):
+        base = "".join("ACGT"[i] for i in rng.integers(0, 4, 40))
+        g = POAGraph()
+        g.add_sequence(encode_seq(base), 1)
+        s = list(base)
+        s[3] = "T"
+        s[17] = "G"
+        tasks.append((g, encode_seq("".join(s)), p))
+
+    VW = LW = 128
+    PB = 4
+    slen, nv, par, ninfo, seq, orders = PallasPOAEngine._pack(
+        tasks, list(range(8)), VW, LW, PB, 8)
+
+    mesh = make_mesh(8)
+    codes_m, meta_m = sharded_pallas_round(
+        mesh, jnp.asarray(slen), jnp.asarray(nv), jnp.asarray(par),
+        jnp.asarray(ninfo), jnp.asarray(seq),
+        VW=VW, LW=LW, P=PB, local=True, interpret=True)
+
+    fn = _pallas_fn(VW, LW, PB, True, True, 8)
+    codes_s, meta_s = fn(jnp.asarray(slen), jnp.asarray(nv),
+                         jnp.asarray(par), jnp.asarray(ninfo),
+                         jnp.asarray(seq))
+    assert np.array_equal(np.asarray(meta_m), np.asarray(meta_s))
+    assert np.array_equal(np.asarray(codes_m), np.asarray(codes_s))
