@@ -66,10 +66,25 @@ def _pallas_fn(VW: int, LW: int, P: int, local: bool, interpret: bool,
     NI = 2 + P      # per-node record fields: base, sink, P predecessor rows
     VWr = VW // 128  # plane rows per field
 
+    OFF = 16384   # bias so clamped scores pack into unsigned 16-bit halves
+
     def kernel(slen_s, nv_s, par_s, ninfo_r, seq_r,
-               moves_r, meta_r, H, Hq, E1, E2):
+               moves_r, meta_r, HH, EE):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LW), 1)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        # two scores per int32 word: lo half = H / E1, hi half = Hq / E2;
+        # everything is clamped to >= NEG16 before packing (same clamp the
+        # scalar oracle applies to its E channels), so halves are unsigned
+        def pack2(lo, hi):
+            return ((jnp.maximum(hi, NEG16) + OFF) << 16) | \
+                   (jnp.maximum(lo, NEG16) + OFF)
+
+        def lo16(v):
+            return (v & 0xFFFF) - OFF
+
+        def hi16(v):
+            return ((v >> 16) & 0xFFFF) - OFF
 
         def shift_right(x, k, fill):
             r = pltpu.roll(x, k, axis=1)
@@ -125,30 +140,32 @@ def _pallas_fn(VW: int, LW: int, P: int, local: bool, interpret: bool,
         # ---- row 0 ----
         if local:
             row0 = jnp.where(colmask, 0, NEG16)
-            H[0:1, :] = row0.astype(DT)
-            Hq[0:1, :] = row0.astype(DT)
+            HH[0:1, :] = pack2(row0, row0).astype(DT)
         else:
             gap1 = -(g + (lane - 1) * e)
             gap2 = -(q + (lane - 1) * c)
             row0 = jnp.maximum(gap1, gap2)
             row0 = jnp.where(lane == 0, 0, row0)
-            H[0:1, :] = jnp.where(colmask, row0, NEG16).astype(DT)
-            Hq[0:1, :] = jnp.where(lane == 0, 0, NEG16).astype(DT)
-        E1[0:1, :] = jnp.full((1, LW), NEG16, DT)
-        E2[0:1, :] = jnp.full((1, LW), NEG16, DT)
+            HH[0:1, :] = pack2(jnp.where(colmask, row0, NEG16),
+                               jnp.where(lane == 0, 0, NEG16)).astype(DT)
+        EE[0:1, :] = jnp.full((1, LW), pack2(NEG16, NEG16), DT)
 
         # ---- fill ----
         def fill_row(v, best):
             best_val, best_row = best
             pr0 = npred(v, 0)
-            hmax = H[pl.ds(pr0, 1), :]
-            e1mx = E1[pl.ds(pr0, 1), :]
-            e2mx = E2[pl.ds(pr0, 1), :]
+            hh = HH[pl.ds(pr0, 1), :]
+            ee = EE[pl.ds(pr0, 1), :]
+            hmax = lo16(hh)
+            e1mx = lo16(ee)
+            e2mx = hi16(ee)
             for p in range(1, P):
                 pr = npred(v, p)
-                hmax = jnp.maximum(hmax, H[pl.ds(pr, 1), :])
-                e1mx = jnp.maximum(e1mx, E1[pl.ds(pr, 1), :])
-                e2mx = jnp.maximum(e2mx, E2[pl.ds(pr, 1), :])
+                hh = HH[pl.ds(pr, 1), :]
+                ee = EE[pl.ds(pr, 1), :]
+                hmax = jnp.maximum(hmax, lo16(hh))
+                e1mx = jnp.maximum(e1mx, lo16(ee))
+                e2mx = jnp.maximum(e2mx, hi16(ee))
             base_v = nrec(0, v)
             sub = jnp.where(seqv == base_v, m, -n)
             M = shift_right(hmax, 1, NEG16) + sub
@@ -162,10 +179,8 @@ def _pallas_fn(VW: int, LW: int, P: int, local: bool, interpret: bool,
             F1 = shift_right(G1, 1, NEG16) - g - ej + e
             F2 = shift_right(G2, 1, NEG16) - q - cj + c
             Hrow = jnp.maximum(hq, jnp.maximum(F1, F2))
-            H[pl.ds(v, 1), :] = Hrow.astype(DT)
-            Hq[pl.ds(v, 1), :] = hq.astype(DT)
-            E1[pl.ds(v, 1), :] = e1.astype(DT)
-            E2[pl.ds(v, 1), :] = e2.astype(DT)
+            HH[pl.ds(v, 1), :] = pack2(Hrow, hq).astype(DT)
+            EE[pl.ds(v, 1), :] = pack2(e1, e2).astype(DT)
             if local:
                 rmax = jnp.max(jnp.where(colmask, Hrow, NEG16))
                 better = rmax > best_val
@@ -179,14 +194,14 @@ def _pallas_fn(VW: int, LW: int, P: int, local: bool, interpret: bool,
         # ---- end cell ----
         if local:
             bi = best_row
-            row = H[pl.ds(jnp.maximum(bi, 0), 1), :]
+            row = lo16(HH[pl.ds(jnp.maximum(bi, 0), 1), :])
             eqm = (row == best_val) & colmask
             bj = jnp.min(jnp.where(eqm, lane, LW))
             bv = best_val
         else:
             def scan_sinks(v, acc):
                 bv_, bi_ = acc
-                hv = cell(H, v, L)
+                hv = lo16(cell(HH, v, L))
                 better = (nrec(1, v) > 0) & (hv > bv_)
                 return (jnp.where(better, hv, bv_),
                         jnp.where(better, v, bi_))
@@ -196,16 +211,16 @@ def _pallas_fn(VW: int, LW: int, P: int, local: bool, interpret: bool,
 
         # ---- traceback ----
         def getH(i, j):
-            return cell(H, i, j)
+            return lo16(cell(HH, i, j))
 
         def getHq(i, j):
-            return cell(Hq, i, j)
+            return hi16(cell(HH, i, j))
 
         def getE1(i, j):
-            return cell(E1, i, j)
+            return lo16(cell(EE, i, j))
 
         def getE2(i, j):
-            return cell(E2, i, j)
+            return hi16(cell(EE, i, j))
 
         # chan: 0=H, 1=Hq (no F allowed), 2=E1, 3=E2
         def tb_cond(st):
@@ -374,10 +389,8 @@ def _pallas_fn(VW: int, LW: int, P: int, local: bool, interpret: bool,
                          memory_space=pltpu.SMEM),       # meta
         ],
         scratch_shapes=[
-            pltpu.VMEM((VW + 1, LW), DT),   # H
-            pltpu.VMEM((VW + 1, LW), DT),   # Hq
-            pltpu.VMEM((VW + 1, LW), DT),   # E1
-            pltpu.VMEM((VW + 1, LW), DT),   # E2
+            pltpu.VMEM((VW + 1, LW), DT),   # HH: Hq<<16 | H (biased)
+            pltpu.VMEM((VW + 1, LW), DT),   # EE: E2<<16 | E1 (biased)
         ],
     )
 
@@ -392,7 +405,10 @@ def _pallas_fn(VW: int, LW: int, P: int, local: bool, interpret: bool,
     )
 
     def fn(slen, nv, par, ninfo, seq):
-        moves, meta = pallas_fn(slen, nv, par, ninfo, seq)
+        # node planes ship as int16 and seq as int8 (H2D over the tunnel is
+        # a dominant per-call cost); XLA upcasts on device before the kernel
+        moves, meta = pallas_fn(slen, nv, par, ninfo.astype(jnp.int32),
+                                seq.astype(jnp.int32))
         # lane-0 slice on device: only (B, S) codes cross the PCIe/tunnel
         return moves[:, :, 0], meta[:, 0, :]
 
@@ -432,9 +448,11 @@ class PallasPOAEngine:
     the kernel so padding costs almost nothing. Oversized tasks fall back to
     the host DP (rare by construction: the pipeline bounds POA length)."""
 
-    # wide (most blocks) + tall-thin (high-divergence POA graphs: V ~ 2L);
-    # both ~100 MiB of DP scratch, the v5e scoped-vmem ceiling
-    SHAPES = ((3072, 2048), (4736, 1408))
+    # wide (most blocks) + tall-thin (high-divergence POA graphs, V ~ 2L);
+    # a single merged (6144, 2048) shape measured WORSE: per-call cost is
+    # dominated by the H2D size of the predecessor planes, which scales
+    # with P*VW — keep the planes as small as each block class needs
+    SHAPES = ((4096, 2048), (6144, 1408))
 
     def __init__(self, max_pred: int = 8, uniform_shapes: tuple = SHAPES,
                  max_batch: int = 32, interpret: bool = False):
@@ -477,8 +495,8 @@ class PallasPOAEngine:
                 z = np.zeros((B, 1, 1), np.int32)
                 par = np.tile(np.array([[[1, 4, 6, 2, 26, 1]]], np.int32),
                               (B, 1, 1))
-                ninfo = np.zeros((B, NI * (VW // 128), 128), np.int32)
-                seq = np.full((B, 1, LW), -1, np.int32)
+                ninfo = np.zeros((B, NI * (VW // 128), 128), np.int16)
+                seq = np.full((B, 1, LW), -1, np.int8)
                 moves, meta = fn(jnp.asarray(z), jnp.asarray(z),
                                  jnp.asarray(par), jnp.asarray(ninfo),
                                  jnp.asarray(seq))
@@ -564,8 +582,8 @@ class PallasPOAEngine:
         slen = np.zeros((B, 1, 1), dtype=np.int32)
         nv = np.zeros((B, 1, 1), dtype=np.int32)
         par = np.zeros((B, 1, 6), dtype=np.int32)
-        ninfo = np.zeros((B, NI * VWr, 128), dtype=np.int32)
-        seq = np.full((B, 1, LW), -1, dtype=np.int32)
+        ninfo = np.zeros((B, NI * VWr, 128), dtype=np.int16)
+        seq = np.full((B, 1, LW), -1, dtype=np.int8)
         orders = []
         for b, t in enumerate(chunk):
             graph, sq, p = tasks[t]
@@ -591,10 +609,10 @@ class PallasPOAEngine:
                 empty = kept <= k
                 pm[empty, k] = first[empty]
             planes = ninfo[b].reshape(NI, VWr * 128)
-            planes[0, :V] = np.asarray(graph.base, dtype=np.int32)[order_a]
+            planes[0, :V] = np.asarray(graph.base, dtype=np.int16)[order_a]
             planes[1, :V] = np.fromiter(
                 (0 if graph.succs[v] else 1 for v in order),
-                dtype=np.int32, count=V)
+                dtype=np.int16, count=V)
             planes[2:2 + PB, :V] = pm.T
             # seq column 0 is the DP j=0 boundary; chars live at j=1..L
             seq[b, 0, 1:L + 1] = sq

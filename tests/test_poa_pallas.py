@@ -87,12 +87,13 @@ def test_shape_selection_and_fallback_reasons():
     eng = PallasPOAEngine.__new__(PallasPOAEngine)
     eng.interpret = False
     eng.uniform_shapes = PallasPOAEngine.SHAPES
-    assert eng._dims(1000, 1500) == (3072, 2048)
-    assert eng._dims(3072, 2047) == (3072, 2048)
-    assert eng._dims(4000, 1300) == (4736, 1408)
-    assert eng._dims(4736, 1407) == (4736, 1408)
-    assert eng._dims(5000, 1000) is None
-    assert eng._dims(4000, 1500) is None
+    wide, tall = PallasPOAEngine.SHAPES
+    assert eng._dims(1000, 1500) == wide
+    assert eng._dims(wide[0], wide[1] - 1) == wide
+    assert eng._dims(wide[0] + 1, tall[1] - 1) == tall
+    assert eng._dims(tall[0], tall[1] - 1) == tall
+    assert eng._dims(tall[0] + 1, 1000) is None
+    assert eng._dims(wide[0] + 1, tall[1]) is None
 
 
 def test_wave_pipelined_smooth_blocks(engine):
