@@ -230,7 +230,10 @@ def smooth_blocks(
             st.poa_ms += ms_each
 
     pairs = list(zip(states, enc))
-    if hasattr(engine, "align_batch_async") and len(pairs) > 3:
+    # two waves only pay off when each wave still fills a device batch;
+    # for small workloads the extra dispatches cost more than the overlap
+    wave_min = 2 * getattr(engine, "max_batch", 1 << 30)
+    if hasattr(engine, "align_batch_async") and len(pairs) >= wave_min:
         # two-wave pipeline: while wave w's round executes on the device,
         # the host decodes/updates/launches the other wave — the TPU-native
         # replacement for the reference's OMP dynamic scheduling overlap

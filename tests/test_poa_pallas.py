@@ -96,10 +96,11 @@ def test_shape_selection_and_fallback_reasons():
     assert eng._dims(wide[0] + 1, tall[1]) is None
 
 
-def test_wave_pipelined_smooth_blocks(engine):
+def test_wave_pipelined_smooth_blocks():
     """smooth_blocks' two-wave async pipeline with the Pallas engine must
     produce sequence-preserving block graphs (validated through lace by
     reconstructing each path range's sequence)."""
+    engine = PallasPOAEngine(interpret=True, max_batch=2)  # force wave path
     from smoothxg_tpu.graph.index import FlatIndex
     from smoothxg_tpu.graph.mutable import MutableGraph
     from smoothxg_tpu.pipeline.blocks import smoothable_blocks
