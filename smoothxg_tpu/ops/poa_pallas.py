@@ -632,11 +632,9 @@ class PallasPOAEngine:
         for b, t in enumerate(chunk):
             order = orders[b]
             k = int(meta[b, 0])
-            aln = []
-            for code in codes[b, :k][::-1]:
-                r = (int(code) >> SHIFT) - 2
-                sp = (int(code) & MASK) - 2
-                node = order[r - 1] if r >= 1 else None
-                pos = sp if sp >= 0 else None
-                aln.append((node, pos))
-            results[t] = aln
+            arr = codes[b, :k][::-1]
+            rs = ((arr >> SHIFT) - 2).tolist()
+            sps = ((arr & MASK) - 2).tolist()
+            results[t] = [
+                (order[r - 1] if r >= 1 else None, sp if sp >= 0 else None)
+                for r, sp in zip(rs, sps)]
