@@ -69,7 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="global alignment instead of local")
 
     cons = p.add_argument_group("consensus graph(s)")
-    cons.add_argument("-P", "--ref-paths", default="")
+    cons.add_argument("-P", "--ref-paths", default="",
+                      help="accepted for reference-CLI compatibility and "
+                           "ignored: the reference parses this flag but its "
+                           "only use is commented out "
+                           "(src/main.cpp:138-141,1068-1084); per-spec ref "
+                           "path files in -C specs are the working mechanism")
     cons.add_argument("-f", "--write-consensus-path-names", default="")
     cons.add_argument("-H", "--consensus-from", default="")
     cons.add_argument("-F", "--smoothed-in", default="")

@@ -122,7 +122,14 @@ def _make_fn(B: int, V: int, Lp1: int, P: int, local: bool,
     import jax
     import jax.numpy as jnp
 
-    DT = jnp.int16 if (use_int16 and Lp1 <= 8200) else jnp.int32
+    # int16 is sound only in LOCAL mode: the 0-floor on Hq bounds every
+    # score that can win a max (H >= 0, M >= -n; E chains below 0 never
+    # propagate into H), so clamping E at the sentinel loses nothing.  In
+    # global mode legitimate scores (leading gap -(g+(L-1)e), deep E chains
+    # ~ -(2g + e(V+L))) can reach the sentinel with the adaptive penalty
+    # tiers (e up to 3, g up to 81), where clamping would silently beat the
+    # true optimum — keep global buckets int32.
+    DT = jnp.int16 if (use_int16 and local and Lp1 <= 8200) else jnp.int32
     NEGS = -16000 if DT == jnp.int16 else NEG
     jidx = jnp.arange(Lp1, dtype=DT)
 

@@ -227,7 +227,7 @@ def _pallas_fn(VW: int, LW: int, P: int, local: bool, interpret: bool,
             return (~st[5]) & (st[6] < 2 * S)
 
         def tb_body(st):
-            i, j, chan, val, npos, done, it = st
+            i, j, chan, val, npos, done, it = st[:7]
             ni, nj, nchan, nval, nnpos = i, j, chan, val, npos
             ndone = done
 
@@ -352,20 +352,27 @@ def _pallas_fn(VW: int, LW: int, P: int, local: bool, interpret: bool,
             nval = jnp.where(lead, getH(0, jm1), nval)
             nchan = jnp.where(lead, 0, nchan)
 
-            # H cell whose value came from nothing we know -> stop (safety)
+            # H cell whose value came from nothing we know -> stop, but FLAG
+            # it: a silent partial alignment would corrupt the POA graph
+            # quietly (the host falls back to the oracle on this flag)
             stuck = act & (~take_m) & (~take_e1) & (~take_e2) & (~take_f) & \
                 (chan == 1)
             ndone = ndone | stuck
+            nstuck = st[7] | stuck
 
-            return (ni, nj, nchan, nval, nnpos, ndone, it + 1)
+            return (ni, nj, nchan, nval, nnpos, ndone, it + 1, nstuck)
 
         done0 = (bv <= 0) if local else jnp.bool_(False)
         done0 = done0 | (V == 0) | (L == 0)   # padded batch slots
         st = jax.lax.while_loop(
             tb_cond, tb_body,
-            (bi, bj, jnp.int32(0), bv, jnp.int32(0), done0, jnp.int32(0)))
+            (bi, bj, jnp.int32(0), bv, jnp.int32(0), done0, jnp.int32(0),
+             jnp.bool_(False)))
         meta_r[0, 0, 0] = st[4]
         meta_r[0, 0, 1] = bv
+        # slot 2: stuck traceback (1) or iteration-limit overrun (2)
+        meta_r[0, 0, 2] = jnp.where(st[7], 1, jnp.where(~st[5], 2, 0))
+        meta_r[0, 0, 3] = 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -385,7 +392,7 @@ def _pallas_fn(VW: int, LW: int, P: int, local: bool, interpret: bool,
         out_specs=[
             pl.BlockSpec((1, S, MW), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),       # moves (lane 0)
-            pl.BlockSpec((1, 1, 2), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, 4), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),       # meta
         ],
         scratch_shapes=[
@@ -399,7 +406,7 @@ def _pallas_fn(VW: int, LW: int, P: int, local: bool, interpret: bool,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, S, MW), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 4), jnp.int32),
         ],
         interpret=interpret,
     )
@@ -465,6 +472,7 @@ class PallasPOAEngine:
         self.host = poa_host
         self.fallbacks = 0
         self.fallback_reasons = {"V": 0, "L": 0, "P": 0}
+        self.stuck_fallbacks = 0
         self.device_tasks = 0
         self.calls = 0
         self.device_s = 0.0          # blocking time waiting on device results
@@ -481,6 +489,12 @@ class PallasPOAEngine:
             if V <= VW and L + 1 <= LW:
                 return VW, LW
         return None
+
+    def _dims_reject_reason(self, V: int, L: int) -> str:
+        """Attribute a _dims() rejection to the V or the L bound."""
+        if any(V <= VW for VW, _ in self.uniform_shapes):
+            return "L"
+        return "V"
 
     def warmup(self, locals_=(True,), preds=(4, 8)):
         """Pre-compile the pinned kernel variants (axon AOT costs minutes;
@@ -510,6 +524,7 @@ class PallasPOAEngine:
             "device_tasks": self.device_tasks,
             "fallbacks": self.fallbacks,
             "fallback_reasons": dict(self.fallback_reasons),
+            "stuck_fallbacks": self.stuck_fallbacks,
             "calls": self.calls,
             "device_wait_s": round(self.device_s, 3),
             "bucket_tasks": {str(k): v for k, v in self.bucket_tasks.items()},
@@ -534,10 +549,10 @@ class PallasPOAEngine:
             if dims is None or maxp > self.max_pred:
                 results[t] = self.host.align(graph, seq, p)
                 self.fallbacks += 1
-                for k, bad in (("V", dims is None),
-                               ("P", maxp > self.max_pred)):
-                    if bad:
-                        self.fallback_reasons[k] += 1
+                if dims is None:
+                    self.fallback_reasons[self._dims_reject_reason(V, L)] += 1
+                if maxp > self.max_pred:
+                    self.fallback_reasons["P"] += 1
                 continue
             VW, LW = dims
             PB = 4 if maxp <= 4 else 8
@@ -572,7 +587,7 @@ class PallasPOAEngine:
         self.calls += 1
         key = (VW, LW, PB, local)
         self.bucket_tasks[key] = self.bucket_tasks.get(key, 0) + len(chunk)
-        return chunk, orders, codes, meta
+        return tasks, chunk, orders, codes, meta
 
     @staticmethod
     def _pack(tasks, chunk, VW, LW, PB, B):
@@ -623,13 +638,21 @@ class PallasPOAEngine:
 
     def _decode(self, handle, results):
         import time as _time
-        chunk, orders, codes, meta = handle
+        tasks, chunk, orders, codes, meta = handle
         t0 = _time.perf_counter()
         codes = np.asarray(codes)
         meta = np.asarray(meta)
         self.device_s += _time.perf_counter() - t0
         self.device_tasks += len(chunk)
         for b, t in enumerate(chunk):
+            if meta[b, 2] != 0:
+                # kernel flagged a stuck/overrun traceback: a truncated move
+                # list would corrupt the POA graph silently — recompute on
+                # the host oracle instead (and count it)
+                graph, sq, p = tasks[t]
+                results[t] = self.host.align(graph, sq, p)
+                self.stuck_fallbacks += 1
+                continue
             order = orders[b]
             k = int(meta[b, 0])
             arr = codes[b, :k][::-1]

@@ -35,7 +35,7 @@ def lace(idx: FlatIndex, results: list[BlockResult],
     id_trans: list[int] = []
     for res in results:
         id_trans.append(smoothed.node_count())
-        bg = res.graph
+        bg = res.get_graph()
         if bg is None or bg.node_count() == 0:
             continue
         for n in bg.node_ids():
@@ -70,7 +70,7 @@ def lace(idx: FlatIndex, results: list[BlockResult],
         if p0 != last_end:
             raise PathValidationError(
                 f"gap in path {idx.get_path_name(pid)} at {last_end}..{p0}")
-        bg = results[block_id].graph
+        bg = results[block_id].get_graph()
         off = id_trans[block_id]
         steps = bg.path_steps[target_rank - 1]
         out_steps = smoothed.path_steps[out_pid]
@@ -110,7 +110,7 @@ def lace(idx: FlatIndex, results: list[BlockResult],
                                      and not preserve_unmerged_consensus) else set()
 
     def _embed_consensus_steps(out_pid: int, block_id: int) -> None:
-        bg = results[block_id].graph
+        bg = results[block_id].get_graph()
         if bg is None:
             return
         cname = results[block_id].consensus_name
@@ -122,9 +122,10 @@ def lace(idx: FlatIndex, results: list[BlockResult],
             for h in bg.path_steps[bg.get_path(cname)])
 
     for res in results:
-        if res.consensus_name is None or res.graph is None:
+        if res.consensus_name is None:
             continue
-        if not res.graph.has_path(res.consensus_name):
+        rg = res.get_graph()
+        if rg is None or not rg.has_path(res.consensus_name):
             continue
         if res.block_id in exclude_unmerged:
             continue

@@ -141,10 +141,13 @@ def merge_blocks_pass(
             below_thresh = (best_j > -1) and (best_j < contiguous_path_jaccard)
             merged = group_sel > -1
         elif merge_blocks:
+            # the very first block starts a group too and is groom-flipped
+            # like any other group-starting block
+            # (reference: src/smooth.cpp:1800-1829)
             queue.append(MergedGroup())
             group_sel = len(queue) - 1
             merged = True
-            flip_sel = False
+            flip_sel = res.groom_flip
             side_left = False
 
         if merged:
@@ -168,8 +171,9 @@ def merge_blocks_pass(
     # apply the flip pass to the block graphs
     for bid in out.flipped_blocks:
         res = results[bid]
-        if res.graph is not None:
-            res.graph = _flip_block_graph(res.graph, res.consensus_name)
+        g = res.get_graph()
+        if g is not None:
+            res.set_graph(_flip_block_graph(g, res.consensus_name))
     return out
 
 

@@ -67,6 +67,11 @@ class Config:
     node_chop: int = 100
     sgd_term_updates: float = 1.0
     use_sgd: bool = True
+    # memory policy: hold block graphs compressed (sampled hot subset) when
+    # a blockset reaches this many blocks (reference: zstd block graphs +
+    # sample-rate reload, src/utils.cpp:89-99, src/main.cpp:616-651);
+    # 0 disables the cache entirely
+    block_graph_cache_min: int = 200_000
     # temp / debug
     tmp_base: str = ""
     keep_temp: bool = False
@@ -101,6 +106,13 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
     engine = _make_engine(cfg)
     tmpdir = cfg.tmp_base or os.path.dirname(os.path.abspath(cfg.smoothed_out))
     temps: list[str] = []
+
+    if not cfg.max_block_weight and not cfg.n_haps:
+        # mirror the CLI's mandatory -r|-w check (reference:
+        # src/main.cpp:274-278) for API callers: without either, the derived
+        # max_block_weight degenerates to 0 (one block per node)
+        raise ValueError(
+            "Config requires n_haps (-r) or max_block_weight (-w)")
 
     for it, target in enumerate(targets):
         tag = f"({it + 1}-{n_iters})"
@@ -155,6 +167,10 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                            local=cfg.local_alignment and not cfg.use_abpoa)
         consensus_base = cfg.consensus_path_prefix if (last and cfg.add_consensus) else ""
         produce_maf = last and bool(cfg.write_msa_in_maf_format)
+        graph_cache = None
+        if cfg.block_graph_cache_min and len(blockset) >= cfg.block_graph_cache_min:
+            from ..utils.blockcache import BlockGraphCache
+            graph_cache = BlockGraphCache(len(blockset))
         with phase(tag, f"smoothing {len(blockset)} blocks"):
             results = smooth_blocks(
                 idx, blockset,
@@ -169,7 +185,8 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                 abpoa_mode=cfg.use_abpoa,
                 collect_stats=bool(cfg.block_stats) and last,
                 write_poa_blocks_ms=cfg.write_poa_blocks_ms,
-                fasta_dir=tmpdir)
+                fasta_dir=tmpdir,
+                graph_cache=graph_cache)
         if cfg.block_stats and last:
             from .smooth import write_block_stats
             write_block_stats(cfg.block_stats, results)
@@ -195,13 +212,36 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
             consensus_path_names = cons_names
 
         if produce_maf:
+            # full effective-parameter dump, grouped per stage like the
+            # reference (src/main.cpp:500-537)
+            est_id = (cfg.block_group_est_identity
+                      if cfg.block_group_est_identity is not None
+                      else cfg.block_group_identity)
             hdr = maf_header(os.path.basename(cfg.gfa_in), idx.path_count(), {
-                "merge_blocks": str(cfg.merge_blocks).lower(),
-                "contiguous_path_jaccard": cfg.contiguous_path_jaccard,
-                "POA": ("abPOA" if cfg.use_abpoa else "SPOA")
-                       + (" local" if params.local else " global"),
-                "max_block_weight": max_block_weight,
-                "max_poa_length": max_poa_length,
+                "merge_blocks":
+                    f"{str(cfg.merge_blocks).lower()}"
+                    f" contiguous_path_jaccard={cfg.contiguous_path_jaccard}",
+                "POA":
+                    ("abPOA" if cfg.use_abpoa else "SPOA")
+                    + " alignment_mode="
+                    + ("local" if params.local else "global")
+                    + " order_paths=from_longest",
+                "max_block_weight":
+                    f"{max_block_weight} max_block_jump={cfg.max_path_jump}"
+                    f" max_edge_jump={cfg.max_edge_jump}",
+                "max_poa_length":
+                    f"{max_poa_length} min_copy_length={cfg.min_copy_length}"
+                    f" max_copy_length={cfg.max_copy_length}"
+                    f" min_autocorr_z={cfg.min_autocorr_z}"
+                    f" autocorr_stride={cfg.autocorr_stride}",
+                "block_group_identity":
+                    f"{cfg.block_group_identity}"
+                    f" block_group_estimated_identity={est_id}"
+                    f" min_length_mash_based_clustering="
+                    f"{cfg.min_length_mash_based_clustering}"
+                    f" min_dedup_depth_for_mash_clustering="
+                    f"{cfg.min_dedup_depth_for_mash_clustering}"
+                    f" kmer_size={cfg.kmer_size}",
             })
             with phase(tag, f"writing MAF {cfg.write_msa_in_maf_format}"):
                 write_maf(cfg.write_msa_in_maf_format, hdr,

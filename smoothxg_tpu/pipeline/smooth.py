@@ -59,6 +59,21 @@ class BlockResult:
     # (reference: src/smooth.cpp:1800-1829)
     groom_flip: bool = False
     stats: dict | None = None
+    # when set, the block graph lives compressed in this BlockGraphCache
+    # (reference memory policy: zstd block graphs + sampled hot subset,
+    # src/utils.cpp:89-99, src/main.cpp:616-651) and `graph` is None
+    cache: object | None = None
+
+    def get_graph(self) -> MutableGraph | None:
+        if self.cache is not None:
+            return self.cache.get(self.block_id)
+        return self.graph
+
+    def set_graph(self, g: MutableGraph | None) -> None:
+        if self.cache is not None:
+            self.cache.put(self.block_id, g)
+        else:
+            self.graph = g
 
 
 @dataclass
@@ -184,6 +199,7 @@ def smooth_blocks(
     collect_stats: bool = False,
     write_poa_blocks_ms: int | None = None,
     fasta_dir: str = ".",
+    graph_cache=None,
 ) -> list[BlockResult]:
     """Smooth every block; returns BlockResults in block-id order."""
     engine = engine or HostPOAEngine()
@@ -204,17 +220,33 @@ def smooth_blocks(
         st.abpoa_mode = abpoa_mode
         states.append(st)
 
-    # round-synchronized POA: round 0 seeds the graph, round r aligns the
-    # r-th unique sequence of every still-active block (device-batchable)
     max_rounds = max((len(st.useqs) for st in states), default=0)
     enc: list[list[np.ndarray]] = [
         [encode_seq(s) for s in st.useqs] for st in states]
+
+    import time as _time
+
+    if hasattr(engine, "poa_block_batch"):
+        # block-fused engine: the whole multi-round POA loop of every block
+        # runs in the engine (ONE device dispatch per block batch for the
+        # fused Pallas kernel) and comes back as final POA graphs
+        t0 = _time.perf_counter()
+        graphs = engine.poa_block_batch(
+            [(es, st.weights, st.params) for st, es in zip(states, enc)])
+        ms_each = (_time.perf_counter() - t0) * 1e3 / max(len(states), 1)
+        for st, g in zip(states, graphs):
+            st.graph = g
+            st.poa_ms = ms_each
+        return _finish_blocks(idx, states, consensus_base_name, produce_maf,
+                              collect_stats, write_poa_blocks_ms, fasta_dir,
+                              graph_cache, max_rounds)
+
+    # round-synchronized POA: round 0 seeds the graph, round r aligns the
+    # r-th unique sequence of every still-active block (device-batchable)
     for st, es in zip(states, enc):
         if es:
             st.graph = POAGraph()
             st.graph.add_sequence(es[0], st.weights[0])
-
-    import time as _time
 
     def _tasks_for(pairs, r):
         tasks, owners = [], []
@@ -265,6 +297,15 @@ def smooth_blocks(
             _apply(owners, alns,
                    (_time.perf_counter() - t0) * 1e3 / len(tasks))
 
+    return _finish_blocks(idx, states, consensus_base_name, produce_maf,
+                          collect_stats, write_poa_blocks_ms, fasta_dir,
+                          graph_cache, max_rounds)
+
+
+def _finish_blocks(idx, states, consensus_base_name, produce_maf,
+                   collect_stats, write_poa_blocks_ms, fasta_dir,
+                   graph_cache, max_rounds) -> list[BlockResult]:
+    add_consensus = bool(consensus_base_name)
     results = [
         _finalize_block(idx, st, add_consensus, consensus_base_name, produce_maf)
         for st in states
@@ -272,6 +313,13 @@ def smooth_blocks(
     if collect_stats:
         for st, res in zip(states, results):
             res.stats = _block_stats(st, res)
+    if graph_cache is not None:
+        # memory-bound mode: park every block graph compressed in the cache
+        # (sampled subset stays hot); downstream stages use get_graph()
+        for res in results:
+            graph_cache.put(res.block_id, res.graph)
+            res.graph = None
+            res.cache = graph_cache
     if write_poa_blocks_ms is not None:
         # dump FASTAs of blocks whose POA took >= threshold ms
         # (reference: POA_DEBUG write_block_fastas, src/smooth.cpp:2095-2110)
@@ -307,6 +355,7 @@ def _block_stats(st: _BlockState, res: BlockResult) -> dict:
     pad = st.padding
     plens = [len(s) for s in st.useqs] or [0]
     lens = [max(p - 2 * pad, 0) for p in plens]
+    bg_res = res.get_graph()
     s: dict = {
         "num.sequences": len(st.ranges),
         "num.dedup.sequences": len(st.useqs),
@@ -318,7 +367,7 @@ def _block_stats(st: _BlockState, res: BlockResult) -> dict:
         "xpoa.graph.nodes": st.graph.n_nodes() if st.graph else 0,
         "xpoa.graph.edges": len(st.graph.edge_w) if st.graph else 0,
     }
-    bg = res.graph
+    bg = bg_res
     if bg is not None:
         s["smoothed.graph.len"] = bg.total_seq_len()
         s["smoothed.graph.nodes"] = bg.node_count()
@@ -459,17 +508,19 @@ def _maf_rows(idx, st, g, cons_path, consensus_name) -> dict[str, list[MafRow]]:
     nseq = len(g.seq_paths)
     read_rows = rows[:nseq]
 
-    # blank `pad` non-gap chars from each end of each read row
-    for row in read_rows:
+    # blank `pad` non-gap chars from each end of EVERY row — the consensus
+    # row included — and trim over all rows (reference blanks/trims the whole
+    # msa vector, consensus row included: src/smooth.cpp:774-831)
+    for row in rows:
         if pad == 0:
             break
         nz = np.flatnonzero(row != GAP)
         row[nz[:pad]] = GAP
         row[nz[len(nz) - pad:]] = GAP
-    # trim all-gap columns at both ends (computed over read rows)
-    if read_rows:
-        occupied = np.zeros(len(read_rows[0]), dtype=bool)
-        for row in read_rows:
+    # trim all-gap columns at both ends (computed over all rows)
+    if rows:
+        occupied = np.zeros(len(rows[0]), dtype=bool)
+        for row in rows:
             occupied |= row != GAP
         nz = np.flatnonzero(occupied)
         lo, hi = (int(nz[0]), int(nz[-1]) + 1) if len(nz) else (0, 0)
