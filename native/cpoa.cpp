@@ -1,0 +1,353 @@
+// cpoa: native single-thread fused POA engine for smoothxg_tpu.
+//
+// Implements EXACTLY the fused POA semantics specified by
+// smoothxg_tpu/ops/poa_fused.py (the numpy oracle): sequence-vs-DAG DP with
+// convex (dual-affine) gaps — score-identical to the spoa engine the
+// reference drives per block (reference: src/smooth.cpp:736-753, params
+// m,n,g,e,q,c from src/main.cpp:322-327) — followed by value-rederivation
+// traceback and guarded linked-list threading of each sequence into the
+// graph.  Bit-for-bit parity with the oracle is tested
+// (tests/test_poa_native.py), which makes this library three things at
+// once:
+//   1. the honest single-thread CPU baseline for bench.py's vs_baseline
+//      (BASELINE.md demands a real CPU POA engine, not the numpy DP),
+//   2. the fast host fallback for blocks the Pallas kernel cannot take,
+//   3. a second implementation to cross-check the fused Pallas kernel.
+//
+// Build: make -C native  (g++ -O3 -march=native -shared -fPIC)
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+using std::vector;
+
+namespace {
+
+constexpr int32_t NEG = -(1 << 30);
+
+struct Params {
+    int32_t m, n, g, e, q, c;
+    bool local;
+};
+
+struct FusedPOA {
+    int ring_cap;
+    vector<int32_t> base;
+    vector<vector<int32_t>> preds;   // slot order
+    vector<int32_t> nsucc;
+    vector<int32_t> ring;            // circular aligned ring
+    vector<int32_t> nxt;             // topo linked list
+    vector<int32_t> pos;             // topo position as of last walk
+    int32_t head = -1;
+    vector<vector<int32_t>> paths;
+    int32_t max_pred = 0;
+
+    // scratch (reused across rounds)
+    vector<int32_t> order, row_of;
+    vector<int32_t> H, Hq, E1, E2;   // (V+1) x (L+1), row-major
+
+    explicit FusedPOA(int rc) : ring_cap(rc) {}
+
+    int32_t n_nodes() const { return (int32_t)base.size(); }
+
+    int32_t new_node(int32_t b) {
+        int32_t v = (int32_t)base.size();
+        base.push_back(b);
+        preds.emplace_back();
+        nsucc.push_back(0);
+        ring.push_back(v);
+        nxt.push_back(-1);
+        pos.push_back(-1);
+        return v;
+    }
+
+    void add_edge(int32_t u, int32_t v) {
+        for (int32_t p : preds[v])
+            if (p == u) return;
+        preds[v].push_back(u);
+        nsucc[u] += 1;
+        max_pred = std::max(max_pred, (int32_t)preds[v].size());
+    }
+
+    void walk() {                      // refresh order/pos/row_of
+        order.clear();
+        row_of.assign(base.size(), 0);
+        for (int32_t v = head; v >= 0; v = nxt[v]) {
+            pos[v] = (int32_t)order.size();
+            order.push_back(v);
+            row_of[v] = (int32_t)order.size();   // 1-based DP row
+        }
+    }
+
+    void seed(const int8_t* seq, int64_t L) {
+        vector<int32_t> path;
+        path.reserve(L);
+        int32_t prev = -1;
+        for (int64_t j = 0; j < L; ++j) {
+            int32_t v = new_node(seq[j]);
+            if (prev >= 0) { add_edge(prev, v); nxt[prev] = v; }
+            else head = v;
+            path.push_back(v);
+            prev = v;
+        }
+        paths.push_back(std::move(path));
+    }
+
+    // DP fill + traceback; fills `target` (seq pos -> node id, -2 = none,
+    // -1 = aligned to the virtual source i.e. unaligned insertion)
+    void align(const int8_t* seq, int64_t L, const Params& p,
+               vector<int32_t>& target) {
+        walk();
+        const int64_t V = (int64_t)order.size();
+        const int64_t W = L + 1;
+        H.assign((V + 1) * W, NEG);
+        Hq.assign((V + 1) * W, NEG);
+        E1.assign((V + 1) * W, NEG);
+        E2.assign((V + 1) * W, NEG);
+        int32_t* Hr = H.data();
+        int32_t* Hqr = Hq.data();
+        int32_t* E1r = E1.data();
+        int32_t* E2r = E2.data();
+
+        if (p.local) {
+            for (int64_t j = 0; j < W; ++j) { Hr[j] = 0; Hqr[j] = 0; }
+        } else {
+            Hr[0] = 0; Hqr[0] = 0;
+            for (int64_t j = 1; j < W; ++j)
+                Hr[j] = std::max(-(p.g + (int32_t)(j - 1) * p.e),
+                                 -(p.q + (int32_t)(j - 1) * p.c));
+        }
+
+        vector<int32_t> hpmax(W), e1p(W), e2p(W);
+        for (int64_t i = 1; i <= V; ++i) {
+            int32_t v = order[i - 1];
+            const auto& ps = preds[v];
+            if (ps.empty()) {
+                std::copy(Hr, Hr + W, hpmax.begin());
+                std::copy(E1r, E1r + W, e1p.begin());
+                std::copy(E2r, E2r + W, e2p.begin());
+            } else {
+                int64_t r0 = (int64_t)row_of[ps[0]] * W;
+                std::copy(Hr + r0, Hr + r0 + W, hpmax.begin());
+                std::copy(E1r + r0, E1r + r0 + W, e1p.begin());
+                std::copy(E2r + r0, E2r + r0 + W, e2p.begin());
+                for (size_t k = 1; k < ps.size(); ++k) {
+                    int64_t r = (int64_t)row_of[ps[k]] * W;
+                    for (int64_t j = 0; j < W; ++j) {
+                        hpmax[j] = std::max(hpmax[j], Hr[r + j]);
+                        e1p[j] = std::max(e1p[j], E1r[r + j]);
+                        e2p[j] = std::max(e2p[j], E2r[r + j]);
+                    }
+                }
+            }
+            int32_t bv = base[v];
+            int64_t ri = i * W;
+            int32_t f1 = NEG, f2 = NEG;   // running F channels (prefix scan)
+            for (int64_t j = 0; j < W; ++j) {
+                int32_t M = (j == 0) ? NEG
+                    : hpmax[j - 1] + (seq[j - 1] == bv ? p.m : -p.n);
+                int32_t e1 = std::max(hpmax[j] - p.g, e1p[j] - p.e);
+                int32_t e2 = std::max(hpmax[j] - p.q, e2p[j] - p.c);
+                if (e1 < NEG) e1 = NEG;
+                if (e2 < NEG) e2 = NEG;
+                int32_t hq = std::max(M, std::max(e1, e2));
+                if (p.local && hq < 0) hq = 0;
+                int32_t h = std::max(hq, std::max(f1, f2));
+                Hr[ri + j] = h;
+                Hqr[ri + j] = hq;
+                E1r[ri + j] = e1;
+                E2r[ri + j] = e2;
+                // F for column j+1: max_k<=j Hq[k] - open - (j-k)*ext
+                f1 = std::max(f1 - p.e, hq - p.g);
+                f2 = std::max(f2 - p.c, hq - p.q);
+            }
+        }
+
+        // ---- end cell ----
+        int64_t ei = 0, ej = 0;
+        if (p.local) {
+            int32_t best = NEG;
+            for (int64_t i = 0; i <= V; ++i)
+                for (int64_t j = 0; j < W; ++j)
+                    if (Hr[i * W + j] > best) { best = Hr[i * W + j]; ei = i; ej = j; }
+            if (best <= 0) { target.assign(L, -2); return; }
+        } else {
+            int32_t best = NEG - 1;
+            for (int64_t i = 1; i <= V; ++i) {
+                if (nsucc[order[i - 1]] != 0) continue;
+                if (Hr[i * W + L] > best) { best = Hr[i * W + L]; ei = i; }
+            }
+            ej = L;
+        }
+
+        // ---- traceback (value re-derivation; mirrors poa_host.align) ----
+        target.assign(L, -2);
+        int64_t i = ei, j = ej;
+        int chan = 0;   // 0=H, 1=Hq, 2=E1, 3=E2
+        int32_t val = Hr[i * W + j];
+        while (true) {
+            if (chan <= 1) {
+                if (p.local && val == 0) break;
+                if (i == 0) {
+                    if (j == 0) break;
+                    target[j - 1] = -1;   // leading insertion via row 0
+                    j -= 1;
+                    val = Hr[j];
+                    chan = 0;
+                    continue;
+                }
+                int32_t v = order[i - 1];
+                const auto& ps = preds[v];
+                bool moved = false;
+                if (j > 0) {
+                    int32_t subv = (seq[j - 1] == base[v]) ? p.m : -p.n;
+                    size_t np = ps.empty() ? 1 : ps.size();
+                    for (size_t k = 0; k < np; ++k) {
+                        int64_t pr = ps.empty() ? 0 : row_of[ps[k]];
+                        if (Hr[pr * W + j - 1] + subv == val) {
+                            target[j - 1] = v;
+                            i = pr; j -= 1; chan = 0;
+                            val = Hr[pr * W + j];
+                            moved = true;
+                            break;
+                        }
+                    }
+                }
+                if (moved) continue;
+                if (E1r[i * W + j] == val) { chan = 2; continue; }
+                if (E2r[i * W + j] == val) { chan = 3; continue; }
+                if (chan == 0) {
+                    // nearest F origin k, channel 1 before channel 2 at
+                    // each k (single backward scan; matches poa_host and
+                    // the Pallas kernel move-for-move)
+                    bool found = false;
+                    const int32_t ops[2] = {p.g, p.q};
+                    const int32_t exs[2] = {p.e, p.c};
+                    for (int64_t k = j - 1; k >= 0 && !found; --k) {
+                        for (int f = 0; f < 2; ++f) {
+                            if (Hqr[i * W + k] - ops[f]
+                                - (int32_t)(j - 1 - k) * exs[f] == val) {
+                                for (int64_t t = j; t > k; --t)
+                                    target[t - 1] = -1;   // insertions
+                                j = k; chan = 1;
+                                val = Hqr[i * W + j];
+                                found = true;
+                                break;
+                            }
+                        }
+                    }
+                    if (found) continue;
+                }
+                // stuck — cannot happen with a correct fill
+                break;
+            } else {
+                int32_t op = (chan == 2) ? p.g : p.q;
+                int32_t ex = (chan == 2) ? p.e : p.c;
+                const int32_t* Em = (chan == 2) ? E1r : E2r;
+                int32_t v = order[i - 1];
+                (void)v;   // deletion consumes node; nothing recorded in target
+                const auto& ps = preds[v];
+                size_t np = ps.empty() ? 1 : ps.size();
+                bool moved = false;
+                for (size_t k = 0; k < np; ++k) {
+                    int64_t pr = ps.empty() ? 0 : row_of[ps[k]];
+                    if (Hr[pr * W + j] - op == val) {
+                        i = pr; chan = 0; val = Hr[pr * W + j];
+                        moved = true;
+                        break;
+                    }
+                }
+                if (!moved) {
+                    for (size_t k = 0; k < np; ++k) {
+                        int64_t pr = ps.empty() ? 0 : row_of[ps[k]];
+                        if (Em[pr * W + j] - ex == val) {
+                            i = pr; val = Em[pr * W + j];
+                            moved = true;
+                            break;
+                        }
+                    }
+                }
+                if (!moved) break;   // broken E chain — cannot happen
+            }
+        }
+    }
+
+    void thread(const vector<int32_t>& target, const int8_t* seq, int64_t L) {
+        vector<int32_t> path;
+        path.reserve(L);
+        int32_t prev = -1;
+        int32_t guard = -1;
+        for (int64_t j = 0; j < L; ++j) {
+            int32_t b = seq[j];
+            int32_t t = target[j];   // -2 none, -1 insertion, else node
+            int32_t v = -1;
+            if (t >= 0) {
+                int32_t cand = t;
+                for (int r = 0; r < ring_cap; ++r) {
+                    if (base[cand] == b && pos[cand] > guard) { v = cand; break; }
+                    cand = ring[cand];
+                    if (cand == t) break;
+                }
+            }
+            if (v < 0) {
+                v = new_node(b);
+                if (t >= 0) { ring[v] = ring[t]; ring[t] = v; }
+                if (prev < 0) {
+                    nxt[v] = head; head = v; pos[v] = -1;
+                } else {
+                    nxt[v] = nxt[prev]; nxt[prev] = v; pos[v] = pos[prev];
+                }
+            } else {
+                guard = pos[v];
+            }
+            if (prev >= 0) add_edge(prev, v);
+            path.push_back(v);
+            prev = v;
+        }
+        paths.push_back(std::move(path));
+    }
+
+    void add_sequence(const int8_t* seq, int64_t L, const Params& p) {
+        if (n_nodes() == 0) { seed(seq, L); return; }
+        if (L == 0) { paths.emplace_back(); return; }
+        vector<int32_t> target;
+        align(seq, L, p, target);
+        thread(target, seq, L);
+    }
+};
+
+}   // namespace
+
+extern "C" {
+
+void* cpoa_run(const int8_t* seqs, const int64_t* seq_off, int64_t R,
+               int32_t m, int32_t n, int32_t g, int32_t e,
+               int32_t q, int32_t c, int32_t local, int32_t ring_cap) {
+    auto* f = new FusedPOA(ring_cap);
+    Params p{m, n, g, e, q, c, local != 0};
+    for (int64_t r = 0; r < R; ++r)
+        f->add_sequence(seqs + seq_off[r], seq_off[r + 1] - seq_off[r], p);
+    f->walk();   // final order/pos
+    return f;
+}
+
+int64_t cpoa_n_nodes(void* h) { return ((FusedPOA*)h)->n_nodes(); }
+int64_t cpoa_max_pred(void* h) { return ((FusedPOA*)h)->max_pred; }
+
+// base/ring/order sized n_nodes; paths sized seq_off[R] (node id per
+// sequence position, concatenated with the input offsets)
+void cpoa_export(void* h, int32_t* base, int32_t* ring, int32_t* order,
+                 int32_t* paths) {
+    auto* f = (FusedPOA*)h;
+    std::copy(f->base.begin(), f->base.end(), base);
+    std::copy(f->ring.begin(), f->ring.end(), ring);
+    std::copy(f->order.begin(), f->order.end(), order);
+    int64_t k = 0;
+    for (auto& path : f->paths)
+        for (int32_t v : path) paths[k++] = v;
+}
+
+void cpoa_free(void* h) { delete (FusedPOA*)h; }
+
+}   // extern "C"

@@ -1,0 +1,245 @@
+"""Fused POA semantics: the whole per-block multi-sequence POA loop
+(align -> traceback -> thread-into-graph, repeated) over fixed-capacity,
+device-shaped structures.
+
+This is the host oracle for the fused Pallas kernel (ops/poa_pallas_fused)
+and the specification for the native C++ engine (native/cpoa.cpp): all three
+implement EXACTLY these semantics, so kernel results can be tested
+bit-for-bit and host fallbacks stay consistent.
+
+Relation to spoa (reference: src/smooth.cpp:744-753 Align/AddAlignment per
+sequence): the DP fill and traceback are identical to ops/poa_host (scores
+equal to spoa's kSW/kNW convex-gap engine).  The *threading* step differs
+from spoa::Graph::AddAlignment in one deliberate way: spoa re-runs a full
+topological sort after every AddAlignment; here the topological order is a
+linked list maintained incrementally, which requires that a reused node
+never precede the previously threaded node.  The "guard" rule (reuse an
+aligned-ring candidate only when pos[cand] > pos(last threaded existing
+node)) keeps the list valid by construction — when the rule would be
+violated (rare), a fresh node is created instead, which only ever splits an
+aligned group in two (never corrupts a path or the DAG).  Aligned
+alternatives live in a circular ring per group (spoa's aligned_nodes list),
+scanned up to RING_CAP members.
+
+Why: a sequential Kahn re-sort per added sequence is hostile to a TPU
+kernel; the linked-list insertion is O(1) masked vector writes and keeps the
+entire multi-round loop in one kernel dispatch per block batch (the round-1
+design paid one dispatch per POA *round*, which made tunnel latency 77% of
+smoothing time — see VERDICT.md).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .poa_graph import POAGraph
+from .poa_host import POAParams, align as host_align
+
+RING_CAP = 8
+
+
+class FusedPOA:
+    """Incremental POA over device-shaped structures.
+
+    Node state (all grow-by-append on host; fixed planes on device):
+      base[v]   byte code
+      preds[v]  predecessor ids in slot order (device caps at P slots)
+      succs[v]  successor ids (device keeps only a count, for sink checks)
+      ring[v]   next node in the circular aligned ring (singleton = self)
+      nxt[v]    topological linked list; `head` starts it
+      pos[v]    topo position as of the last walk (proxy pos for new nodes)
+    """
+
+    def __init__(self, ring_cap: int = RING_CAP):
+        self.ring_cap = ring_cap
+        self.base: list[int] = []
+        self.preds: list[list[int]] = []
+        self.succs: list[list[int]] = []
+        self.ring: list[int] = []
+        self.nxt: list[int] = []
+        self.pos: list[int] = []
+        self.head = -1
+        self.paths: list[list[int]] = []
+        self.max_pred = 0          # high-water pred slot count (device cap)
+
+    # ---- structure ----
+    def n_nodes(self) -> int:
+        return len(self.base)
+
+    def _new_node(self, b: int) -> int:
+        v = len(self.base)
+        self.base.append(b)
+        self.preds.append([])
+        self.succs.append([])
+        self.ring.append(v)
+        self.nxt.append(-1)
+        self.pos.append(-1)
+        return v
+
+    def _add_edge(self, u: int, v: int) -> None:
+        if u in self.preds[v]:
+            return
+        self.preds[v].append(u)
+        self.succs[u].append(v)
+        self.max_pred = max(self.max_pred, len(self.preds[v]))
+
+    def topo_order(self) -> list[int]:
+        """Walk the linked list, refreshing pos[] (the fill does the same)."""
+        order = []
+        v = self.head
+        while v >= 0:
+            self.pos[v] = len(order)
+            order.append(v)
+            v = self.nxt[v]
+        return order
+
+    # ---- sequence addition ----
+    def seed(self, seq: np.ndarray) -> None:
+        """First sequence becomes the backbone chain."""
+        L = len(seq)
+        path = []
+        prev = -1
+        for j in range(L):
+            v = self._new_node(int(seq[j]))
+            if prev >= 0:
+                self._add_edge(prev, v)
+                self.nxt[prev] = v
+            else:
+                self.head = v
+            path.append(v)
+            prev = v
+        self.paths.append(path)
+
+    def align(self, seq: np.ndarray, p: POAParams):
+        """DP + traceback against the current graph (scores/tie-breaks
+        identical to ops/poa_host.align; the kernel mirrors both)."""
+        return host_align(self, seq, p)
+
+    def thread(self, aln, seq: np.ndarray) -> None:
+        """Thread `seq` along `aln` into the graph (the fused semantics)."""
+        L = len(seq)
+        target: dict[int, int | None] = {}
+        for node, sp in aln:
+            if sp is not None:
+                target[sp] = node
+        path: list[int] = []
+        prev = -1          # last threaded node
+        guard = -1         # pos of last threaded *existing* node
+        for j in range(L):
+            b = int(seq[j])
+            t = target.get(j)
+            v = -1
+            if t is not None:
+                cand = t
+                for _ in range(self.ring_cap):
+                    if self.base[cand] == b and self.pos[cand] > guard:
+                        v = cand
+                        break
+                    cand = self.ring[cand]
+                    if cand == t:
+                        break
+            if v < 0:
+                v = self._new_node(b)
+                if t is not None:
+                    # splice into t's aligned ring
+                    self.ring[v] = self.ring[t]
+                    self.ring[t] = v
+                # insert immediately after prev (head if no prev); the new
+                # node's only predecessor is prev, successors come later and
+                # are placed after it, so the list stays topological
+                if prev < 0:
+                    self.nxt[v] = self.head
+                    self.head = v
+                    self.pos[v] = -1
+                else:
+                    self.nxt[v] = self.nxt[prev]
+                    self.nxt[prev] = v
+                    self.pos[v] = self.pos[prev]   # proxy position
+            else:
+                guard = self.pos[v]
+            if prev >= 0:
+                self._add_edge(prev, v)
+            path.append(v)
+            prev = v
+        self.paths.append(path)
+
+    def add_sequence(self, seq: np.ndarray, p: POAParams) -> None:
+        if self.n_nodes() == 0:
+            self.seed(seq)
+            return
+        if len(seq) == 0:
+            self.paths.append([])
+            return
+        self.thread(self.align(seq, p), seq)
+
+    # ---- export ----
+    def to_poa_graph(self, weights: list[int]) -> POAGraph:
+        """Rehydrate a POAGraph (consensus/MSA machinery) from the fused
+        state: edges + weights from the explicit paths, aligned groups from
+        the rings, topo order from the list."""
+        return rehydrate(np.asarray(self.base, dtype=np.int32),
+                         np.asarray(self.ring, dtype=np.int32),
+                         self.topo_order(), self.paths, weights)
+
+
+def rehydrate(base: np.ndarray, ring: np.ndarray, order: list[int],
+              paths: list[list[int]], weights: list[int]) -> POAGraph:
+    """Build a POAGraph from fused-engine output arrays.
+
+    The final graph is fully determined by (base, rings, topo order, paths):
+    every edge was created by threading, so edges/weights accumulate from
+    consecutive path entries; aligned groups are the ring cycles.
+    """
+    V = len(base)
+    g = POAGraph()
+    g.base = [int(b) for b in base]
+    g.preds = [[] for _ in range(V)]
+    g.succs = [[] for _ in range(V)]
+
+    # groups from ring cycles (group id = first-seen member, ascending)
+    group_of = np.full(V, -1, dtype=np.int64)
+    for v in range(V):
+        if group_of[v] >= 0:
+            continue
+        gid = len(g.group_members)
+        members = []
+        c = v
+        while group_of[c] < 0:
+            group_of[c] = gid
+            members.append(c)
+            c = int(ring[c])
+        g.group_members.append(sorted(members))
+    g.group = [int(group_of[v]) for v in range(V)]
+
+    for path, w in zip(paths, weights):
+        for u, v in zip(path, path[1:]):
+            key = (u, v)
+            if key in g.edge_w:
+                g.edge_w[key] += w
+            else:
+                g.edge_w[key] = w
+                g.succs[u].append(v)
+                g.preds[v].append(u)
+    g.seq_paths = [list(p) for p in paths]
+    g.seq_weights = list(weights)
+    g._topo = list(order)
+    return g
+
+
+class FusedHostEngine:
+    """Block-level engine running the fused semantics on host numpy.
+
+    Slow (python DP) — exists as the oracle and as the fallback of last
+    resort; the C++ native engine (ops/poa_native) and the fused Pallas
+    kernel implement the same contract fast.
+    """
+
+    def poa_block_batch(self, blocks):
+        """blocks: list of (encoded_seqs, weights, params).
+        Returns one POAGraph per block (empty-seq blocks -> empty graph)."""
+        out = []
+        for seqs, weights, params in blocks:
+            f = FusedPOA()
+            for s in seqs:
+                f.add_sequence(s, params)
+            out.append(f.to_poa_graph(list(weights)))
+        return out

@@ -166,20 +166,22 @@ def align(graph: POAGraph, seq: np.ndarray, p: POAParams
                 chan = "E2"
                 continue
             if chan == "H":
-                # F channels: locate origin k in the stored Hq row
+                # F channels: locate the nearest origin k in the stored Hq
+                # row, trying channel 1 then channel 2 at each k (the same
+                # single backward scan the Pallas kernel performs, so fused
+                # engines stay bit-identical)
                 found = False
-                for op, ex in ((p.g, p.e), (p.q, p.c)):
-                    k = j - 1
-                    while k >= 0:
+                k = j - 1
+                while k >= 0 and not found:
+                    for op, ex in ((p.g, p.e), (p.q, p.c)):
                         if int(Hq[i, k]) - op - (j - 1 - k) * ex == val:
                             for t in range(j, k, -1):
                                 aln.append((None, t - 1))
                             j, chan, val = k, "Hq", int(Hq[i, k])
                             found = True
                             break
+                    else:
                         k -= 1
-                    if found:
-                        break
                 if found:
                     continue
             raise AssertionError(

@@ -1,0 +1,122 @@
+"""ctypes bindings for the native fused POA engine (native/cpoa.cpp).
+
+cpoa implements the fused POA semantics of ops/poa_fused.py in C++
+(bit-for-bit parity tested).  It serves as:
+  * the honest single-thread CPU baseline for bench.py (BASELINE.md:
+    "≥50x blocks/s vs single-thread CPU POA" — the reference smooths with
+    SIMD spoa/abPOA, src/smooth.cpp:736-753; this is our own scalar C++
+    equivalent, the closest buildable stand-in),
+  * the fast host fallback of the fused Pallas engine for blocks that
+    exceed the pinned kernel capacity,
+  * a cross-check implementation for the kernel.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from .poa_fused import rehydrate
+from .poa_host import POAParams
+
+_LIB = None
+_TRIED = False
+
+RING_CAP = 8
+
+
+def _lib_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.pardir, "native", "libcpoa.so")
+
+
+def load() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.abspath(_lib_path())
+    if not os.path.exists(path):
+        try:
+            subprocess.run(["make", "-C", os.path.dirname(path), "libcpoa.so"],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    i32 = ctypes.c_int32
+    i64 = ctypes.c_int64
+    p8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    p32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    p64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.cpoa_run.restype = ctypes.c_void_p
+    lib.cpoa_run.argtypes = [p8, p64, i64, i32, i32, i32, i32, i32, i32,
+                             i32, i32]
+    lib.cpoa_n_nodes.restype = i64
+    lib.cpoa_n_nodes.argtypes = [ctypes.c_void_p]
+    lib.cpoa_max_pred.restype = i64
+    lib.cpoa_max_pred.argtypes = [ctypes.c_void_p]
+    lib.cpoa_export.restype = None
+    lib.cpoa_export.argtypes = [ctypes.c_void_p, p32, p32, p32, p32]
+    lib.cpoa_free.restype = None
+    lib.cpoa_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def poa_block(seqs: list[np.ndarray], p: POAParams,
+              ring_cap: int = RING_CAP):
+    """Run the full fused POA loop for one block natively.
+    Returns (base, ring, order, paths_flat, seq_off) int32/int64 arrays,
+    or None when the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    R = len(seqs)
+    seq_off = np.zeros(R + 1, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        seq_off[i + 1] = seq_off[i] + len(s)
+    flat = np.concatenate([np.asarray(s, dtype=np.int8) for s in seqs]) \
+        if R else np.zeros(0, dtype=np.int8)
+    flat = np.ascontiguousarray(flat, dtype=np.int8)
+    h = lib.cpoa_run(flat, seq_off, R, p.m, p.n, p.g, p.e, p.q, p.c,
+                     int(p.local), ring_cap)
+    try:
+        V = lib.cpoa_n_nodes(h)
+        base = np.zeros(max(V, 1), dtype=np.int32)
+        ring = np.zeros(max(V, 1), dtype=np.int32)
+        order = np.zeros(max(V, 1), dtype=np.int32)
+        paths = np.zeros(max(int(seq_off[-1]), 1), dtype=np.int32)
+        lib.cpoa_export(h, base, ring, order, paths)
+    finally:
+        lib.cpoa_free(h)
+    return base[:V], ring[:V], order[:V], paths[:int(seq_off[-1])], seq_off
+
+
+class NativePOAEngine:
+    """Block-level engine backed by native/cpoa.cpp (single thread)."""
+
+    def __init__(self, ring_cap: int = RING_CAP):
+        if not available():
+            raise RuntimeError("libcpoa.so unavailable (native build failed)")
+        self.ring_cap = ring_cap
+
+    def poa_block_batch(self, blocks):
+        out = []
+        for seqs, weights, params in blocks:
+            r = poa_block(list(seqs), params, self.ring_cap)
+            base, ring, order, flat, off = r
+            paths = [flat[off[i]:off[i + 1]].tolist()
+                     for i in range(len(seqs))]
+            out.append(rehydrate(base, ring, [int(v) for v in order],
+                                 paths, list(weights)))
+        return out

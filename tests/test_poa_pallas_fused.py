@@ -1,0 +1,90 @@
+"""Fused Pallas kernel (interpret mode) vs the numpy fused oracle:
+bit-for-bit parity on bases, rings, topo order and per-sequence paths."""
+import numpy as np
+import pytest
+
+from smoothxg_tpu.ops.poa_fused import FusedPOA
+from smoothxg_tpu.ops.poa_host import POAParams
+from smoothxg_tpu.ops.poa_pallas_fused import FusedPallasEngine
+from smoothxg_tpu.utils.dna import encode_seq
+
+from test_poa_jax import CASES
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return FusedPallasEngine(shape=(512, 256), max_seqs=16, max_batch=4,
+                             interpret=True)
+
+
+def oracle(seqs, p):
+    f = FusedPOA()
+    for s in seqs:
+        f.add_sequence(encode_seq(s), p)
+    return f
+
+
+def run_engine(engine, seqs, p):
+    return engine.poa_block_batch(
+        [([encode_seq(s) for s in seqs], [1] * len(seqs), p)])[0]
+
+
+def assert_block_parity(engine, seqs, p):
+    f = oracle(seqs, p)
+    g = run_engine(engine, seqs, p)
+    assert g.base == f.base
+    assert g.seq_paths == f.paths
+    assert g._topo == f.topo_order()
+    assert g.group == f.to_poa_graph([1] * len(seqs)).group
+
+
+@pytest.mark.parametrize("local", [True, False])
+@pytest.mark.parametrize("seqs", CASES)
+def test_fused_kernel_matches_oracle(seqs, local, engine):
+    assert_block_parity(engine, seqs, POAParams(local=local))
+
+
+@pytest.mark.parametrize("local", [True, False])
+def test_fused_kernel_random(local, engine):
+    p = POAParams(local=local)
+    rng = np.random.default_rng(17)
+    base = "".join("ACGT"[i] for i in rng.integers(0, 4, 70))
+    seqs = [base]
+    for _ in range(5):
+        s = list(base)
+        for _ in range(6):
+            pos = int(rng.integers(0, len(s)))
+            s[pos] = "ACGT"[int(rng.integers(0, 4))]
+        if rng.random() < 0.6:
+            pos = int(rng.integers(5, len(s) - 5))
+            s = s[:pos] + list("ACGT"[: int(rng.integers(1, 4))]) + s[pos:]
+        if rng.random() < 0.4:
+            pos = int(rng.integers(5, len(s) - 8))
+            del s[pos:pos + int(rng.integers(1, 4))]
+        seqs.append("".join(s))
+    assert_block_parity(engine, seqs, p)
+
+
+def test_fused_kernel_batch_and_fallback(engine):
+    """Batched blocks decode independently; oversize blocks take the native
+    fallback; results all carry valid consensus."""
+    p = POAParams(local=True)
+    rng = np.random.default_rng(23)
+    blocks = []
+    for b in range(5):
+        base = "".join("ACGT"[i] for i in rng.integers(0, 4, 30 + 7 * b))
+        mut = list(base)
+        mut[4] = "T" if mut[4] != "T" else "G"
+        blocks.append(([encode_seq(base), encode_seq("".join(mut))],
+                       [1, 2], p))
+    # one oversize block (seq longer than LW-1) -> fallback path
+    long = "".join("ACGT"[i] for i in rng.integers(0, 4, 300))
+    blocks.append(([encode_seq(long)], [1], p))
+    graphs = engine.poa_block_batch(blocks)
+    assert engine.fallbacks >= 1
+    for (seqs, weights, _), g in zip(blocks, graphs):
+        for s, path in zip(seqs, g.seq_paths):
+            assert np.array_equal(
+                np.array([g.base[v] for v in path], dtype=np.int32),
+                np.asarray(s, dtype=np.int32))
+        assert g.consensus_path()
