@@ -2,18 +2,20 @@
 
 The north-star metric (BASELINE.json): POA blocks/s per chip for batched,
 size-bucketed block smoothing, compared against a single-thread CPU engine.
-The CPU baseline is this repo's own numpy DP engine measured in-process (the
-reference's abPOA is not buildable in this image; the numpy engine computes
-the identical DP, so the ratio understates nothing structural).
+The CPU baseline is the repo's native C++ engine (native/cpoa.cpp) — a
+scalar single-thread implementation of the same fused POA semantics, the
+closest buildable stand-in for the reference's single-thread SPOA/abPOA
+(deps are not buildable in this image).  The numpy-DP rate is reported as
+an extra for continuity with round-1 numbers.
 
 Prints ONE JSON line:
   {"metric": "poa_blocks_per_s", "value": N, "unit": "blocks/s",
-   "vs_baseline": N / cpu_blocks_per_s, ...extras}
+   "vs_baseline": N / native_cpu_blocks_per_s, ...extras}
 
 Notes:
   * One process end to end: axon remote compiles cost minutes and are not
     reusable across processes, so the engine pins a single uniform shape
-    and the warmup cost is reported separately as "compile_s".
+    and the warmup cost is reported separately as "warmup_compile_s".
   * extras include the warm single-chip 1-iteration end-to-end wall time
     for the DRB1 pipeline (reference binary: 25.45 s for 3 iterations on a
     Ryzen 3700X, test/performance/check.md:5-16).
@@ -35,7 +37,8 @@ def main() -> int:
     from smoothxg_tpu.io.gfa import read_gfa
     from smoothxg_tpu.ops.poa_host import POAParams
     from smoothxg_tpu.ops.poa_jax import ensure_backend
-    from smoothxg_tpu.ops.poa_pallas import PallasPOAEngine
+    from smoothxg_tpu.ops.poa_native import NativePOAEngine, available
+    from smoothxg_tpu.ops.poa_pallas_fused import FusedPallasEngine
     from smoothxg_tpu.pipeline.blocks import smoothable_blocks
     from smoothxg_tpu.pipeline.breaks import break_blocks
     from smoothxg_tpu.pipeline.prep import prep
@@ -55,15 +58,15 @@ def main() -> int:
     bs = break_blocks(idx, bs, max_poa_length=2 * target)
     params = POAParams(local=True)
 
-    # Pallas kernel: ONE pinned shape, V/L are dynamic loop bounds inside
-    # the kernel; large batch amortizes the per-dispatch tunnel latency
-    engine = PallasPOAEngine(max_batch=128)
+    # Fused Pallas kernel: whole multi-sequence POA per block inside one
+    # kernel dispatch per batch of 64 blocks
+    engine = FusedPallasEngine()
     t0 = time.time()
-    engine.warmup(locals_=(True,), preds=(4, 8))
+    engine.warmup(locals_=(True,))
     prewarm_s = time.time() - t0
 
-    # throughput workload: the DRB1 blockset replicated 16x (384 blocks) —
-    # per-chip blocks/s for batched independent block POA, the unit that
+    # throughput workload: the DRB1 blockset replicated 16x — per-chip
+    # blocks/s for batched independent block POA, the unit that
     # data-parallel scale-out multiplies
     from smoothxg_tpu.pipeline.blocks import Blockset
     big = Blockset()
@@ -87,10 +90,19 @@ def main() -> int:
     n_blocks = len(results)
     tpu_bps = n_blocks / tpu_s
 
+    # ---- single-thread CPU baselines ----
+    extras = {}
+    if available():
+        t0 = time.time()
+        run_once(NativePOAEngine(), bs)
+        native_s = time.time() - t0
+        native_bps = len(bs.blocks) / native_s
+    else:                        # pragma: no cover - native always builds
+        native_bps = None
     t0 = time.time()
     run_once(HostPOAEngine(), bs)
-    cpu_s = time.time() - t0
-    cpu_bps = len(bs.blocks) / cpu_s
+    numpy_bps = len(bs.blocks) / (time.time() - t0)
+    cpu_bps = native_bps if native_bps is not None else numpy_bps
 
     # warm 1-iteration end-to-end (engine shapes already compiled)
     tmp = tempfile.mkdtemp(prefix="smoothxg_bench_")
@@ -104,6 +116,7 @@ def main() -> int:
     run_smoothing(cfg)
     e2e_1iter_s = time.time() - t0
 
+    st = engine.stats()
     print(json.dumps({
         "metric": "poa_blocks_per_s",
         "value": round(tpu_bps, 3),
@@ -111,13 +124,17 @@ def main() -> int:
         "vs_baseline": round(tpu_bps / cpu_bps, 2),
         "blocks": n_blocks,
         "tpu_smooth_s": round(tpu_s, 2),
-        "cpu_singlethread_blocks_per_s": round(cpu_bps, 3),
+        "cpu_native_blocks_per_s":
+            round(native_bps, 3) if native_bps else None,
+        "cpu_numpy_blocks_per_s": round(numpy_bps, 3),
         "warmup_compile_s": round(warmup_s, 1),
         "e2e_1iter_warm_s": round(e2e_1iter_s, 2),
-        "device_tasks": engine.device_tasks,
-        "host_fallbacks": engine.fallbacks,
-        "engine_calls": engine.calls,
-        "device_wait_s": round(engine.device_s, 2),
+        "device_blocks": st["device_blocks"],
+        "host_fallbacks": st["fallbacks"],
+        "device_redo": st["redo"],
+        "engine_calls": st["calls"],
+        "device_wait_s": st["device_wait_s"],
+        **extras,
     }))
     return 0
 

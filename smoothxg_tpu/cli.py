@@ -105,10 +105,13 @@ def build_parser() -> argparse.ArgumentParser:
     th = p.add_argument_group("threading / engine")
     th.add_argument("-t", "--threads", type=int, default=1)
     th.add_argument("-T", "--poa-threads", type=int, default=0)
-    th.add_argument("--engine", choices=["host", "jax", "pallas"],
-                    default="pallas",
-                    help="POA engine: Pallas TPU kernel (default), batched "
-                         "XLA kernels, or the numpy host oracle")
+    th.add_argument("--engine",
+                    choices=["host", "jax", "pallas", "fused", "native"],
+                    default="fused",
+                    help="POA engine: fused whole-block Pallas TPU kernel "
+                         "(default, one dispatch per block batch), "
+                         "round-level Pallas kernel, batched XLA kernels, "
+                         "native C++ single-thread, or the numpy host oracle")
 
     p.add_argument("-v", "--version", action="store_true")
     return p

@@ -11,28 +11,46 @@ specified by ops/poa_fused.py (numpy oracle; native/cpoa.cpp is the C++
 twin).  One pallas_call processes a whole batch of blocks (grid=B) and
 returns final graphs: bit-for-bit identical to the oracle.
 
-Per grid step (= one block):
-  * seed the graph from sequence 0 as a chain (vectorized plane writes),
-  * for each later sequence: walk the topo linked list refreshing pos[],
-    fill the DP (rows indexed by node id + 1; identical recurrences to
-    ops/poa_pallas), locate the end cell, traceback writing only the
-    match targets into a column-indexed tgt plane, then thread the
-    sequence: guarded aligned-ring reuse or new-node creation with O(1)
-    linked-list insertion (see poa_fused.py for why this keeps the list
-    topological), edge appends into 128-lane pred rows,
-  * export base/ring planes, the final topo order, and per-sequence node
-    paths.  Everything else (edges, weights, consensus, MSA) is
-    reconstructed on host from the paths (ops/poa_fused.rehydrate).
+Performance structure (v2 — measured on the v5e tunnel, tools/profile_fused):
+  * DP rows are FOLDED to (8, LW/8): a (1, 2048) int32 row occupies 16
+    (8,128) vregs with 1/8 sublane utilization; folding packs the same row
+    into 2 fully-used vregs, ~8x less VPU issue per fill op.  Column j
+    lives at (sublane j//256, lane j%256); the +1 column shift crosses the
+    fold with a lane-roll + sublane-roll blend, and the F-channel prefix
+    max is a lane scan + cross-sublane exclusive prefix.
+  * The fill records PROVENANCE CODES per cell (one int32 plane: argmax
+    pred slots for M/E1/E2, open-vs-extend bits, hq/H channel selectors,
+    F cummax-renewal bits).  The traceback is then a pure code chase —
+    no score re-derivation, no per-pred equality scans — with move choices
+    bit-identical to ops/poa_host.align's value-matching order (first
+    matching pred slot == first argmax slot, open tried before extend,
+    nearest F origin via the renewal bits).
+  * Node bookkeeping planes (node v -> row v//128, lane v%128): base and
+    topo position share one word (base | (pos+1)<<7), so the threading
+    guard check reads ONE plane word per ring candidate.
 
-Graph state lives in VMEM scratch planes (node v -> row v//128, lane
-v%128); predecessor slots of node v are the 128 lanes of row v of a
-(VW, 128) plane, so edge dedup/append is one vector compare + blend.
+Per grid step (= one block): seed the graph from sequence 0 as a chain;
+for each later sequence walk the topo linked list filling the DP, locate
+the end cell, chase the code plane writing match targets into a
+column-indexed tgt plane, then thread the sequence (guarded aligned-ring
+reuse or new-node creation with O(1) linked-list insertion — see
+poa_fused.py for why this keeps the list topological).  Export base/ring
+planes, the final topo order, and per-sequence node paths; everything else
+(edges, weights, consensus, MSA) is reconstructed on host from the paths
+(ops/poa_fused.rehydrate).
+
 Mosaic constraints (no dynamic lane indexing, no scalar stores, masked
 row reductions/blends) are the same as ops/poa_pallas.py.
 
-Overflow (node capacity, pred slots, a stuck traceback) sets a meta flag;
-the engine redoes that block on the native C++ engine — never a silent
-truncation.
+Score range: packed int16 halves with floor NEG16 = -16000.  Provenance
+bits become meaningless for cells whose E chains hit the clamp floor, but
+such cells score below any real alignment path for LW <= 2048 with
+smoothxg penalty sets (|min score| ~ g + (LW-1)*e ~ 4.1k), so the traced
+path never visits them.  Revisit before raising LW past ~6k.
+
+Overflow (node capacity, pred slots, a traceback overrun) sets a meta
+flag; the engine redoes that block on the native C++ engine — never a
+silent truncation.
 """
 from __future__ import annotations
 
@@ -43,6 +61,7 @@ import numpy as np
 NEG16 = -16000
 NEGBIG = -(1 << 30)
 RING_CAP = 8
+FOLD = 8
 
 
 def _round_up(x: int, m: int) -> int:
@@ -50,8 +69,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=8)
-def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
-              B: int):
+def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
+                 B: int, stage: int = 0):
+    # stage is a PROFILING knob (tools/profile_fused.py): 0 = full kernel,
+    # 1 = fill + end-cell only (skip traceback + threading), 2 = skip
+    # threading only.  stage != 0 produces invalid graphs by design.
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -60,15 +82,20 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
     DT = jnp.int32
     VWr = VW // 128
     LWr = LW // 128
+    LANES = LW // FOLD
     OFF = 16384
     TB_CAP = 2 * (VW + LW + 8)   # traceback iteration safety cap
+    POSM = 0x1FFF                # 13-bit pos+1 field in the base|pos plane
 
-    def kernel(nseq_s, par_s, slen_r, seqs_r,
+    def kernel(nseq_s, par_s, slen_r, seed_r, seqs_r,
                meta_r, exp_r, paths_r,
-               HH, EE, predp, npredp, nsuccp, basep, ringp, nxtp, posp,
+               HH, EE, CC, predp, npredp, nsuccp, bpp, ringp, nxtp,
                tgtp):
         lane = jax.lax.broadcasted_iota(DT, (1, LW), 1)
         lane128 = jax.lax.broadcasted_iota(DT, (1, 128), 1)
+        subf = jax.lax.broadcasted_iota(DT, (FOLD, LANES), 0)
+        lanef = jax.lax.broadcasted_iota(DT, (FOLD, LANES), 1)
+        colidx = subf * LANES + lanef          # folded column index
 
         def pack2(lo, hi):
             return ((jnp.maximum(hi, NEG16) + OFF) << 16) | \
@@ -80,16 +107,36 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
         def hi16(v):
             return ((v >> 16) & 0xFFFF) - OFF
 
-        def shift_right(x, k, fill):
-            r = pltpu.roll(x, k, axis=1)
-            return jnp.where(lane >= k, r, fill)
+        def b1(x):
+            return jnp.where(x, 1, 0)
 
-        def cummax_lanes(x):
+        # ---- folded-row helpers ----
+        def fshift1(x, fill):
+            """out[c] = x[c-1] (c >= 1), else fill — across the fold."""
+            r1 = pltpu.roll(x, 1, axis=1)
+            fixed = jnp.where(lanef == 0, pltpu.roll(r1, 1, axis=0), r1)
+            return jnp.where(colidx >= 1, fixed, fill)
+
+        def row_shift_right(x, k):
+            r = pltpu.roll(x, k, axis=1)
+            return jnp.where(lanef >= k, r, NEG16)
+
+        def cummax_f(x):
+            """Prefix max over folded columns."""
             k = 1
-            while k < LW:
-                x = jnp.maximum(x, shift_right(x, k, NEG16))
+            while k < LANES:
+                x = jnp.maximum(x, row_shift_right(x, k))
                 k *= 2
-            return x
+            rm = jnp.broadcast_to(jnp.max(x, axis=1, keepdims=True),
+                                  (FOLD, LANES))
+            ex = jnp.where(subf >= 1, pltpu.roll(rm, 1, axis=0), NEG16)
+            k = 1
+            while k < FOLD:
+                ex = jnp.maximum(
+                    ex, jnp.where(subf >= k, pltpu.roll(ex, k, axis=0),
+                                  NEG16))
+                k *= 2
+            return jnp.maximum(x, ex)
 
         # ---- plane access helpers (node-indexed (VWr,128) planes) ----
         def pread(ref, v):
@@ -102,6 +149,11 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             row = ref[pl.ds(r, 1), :]
             ref[pl.ds(r, 1), :] = jnp.where(m, val, row)
 
+        def bp_read(v):
+            """base|pos plane word (>= 0) of node v."""
+            row = bpp[pl.ds(v // 128, 1), :]
+            return jnp.max(jnp.where(lane128 == (v % 128), row, -1))
+
         def tread(j):
             row = tgtp[pl.ds(j // 128, 1), :]
             return jnp.max(jnp.where(lane128 == (j % 128), row, NEGBIG))
@@ -112,10 +164,14 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             row = tgtp[pl.ds(r, 1), :]
             tgtp[pl.ds(r, 1), :] = jnp.where(m, val, row)
 
-        # DP cell at dynamic (row i, col j)
-        def cell(ref, i, j):
-            row = ref[pl.ds(i, 1), :]
-            return jnp.max(jnp.where(lane == j, row, NEGBIG))
+        # folded cell reads at dynamic (row i, col j)
+        def cellf(ref, i, j):
+            rows = ref[pl.ds(FOLD * i, FOLD), :]
+            return jnp.max(jnp.where(colidx == j, rows, NEGBIG))
+
+        def ccell(i, j):
+            rows = CC[pl.ds(FOLD * i, FOLD), :]
+            return jnp.max(jnp.where(colidx == j, rows, -1))
 
         R = nseq_s[0, 0, 0]
         m = par_s[0, 0, 0]
@@ -130,21 +186,17 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
         def slen_at(r_):
             return jnp.max(jnp.where(lane128 == r_, slen_row, 0))
 
-        ej = e * lane
-        cj = c * lane
+        ej = e * colidx
+        cj = c * colidx
 
         # ================= seed from sequence 0 =================
         L0 = slen_at(0)
-        seq0 = seqs_r[0, 0:1, :]
-        s0 = pltpu.roll(seq0, LW - 1, axis=1)    # lane v = char at pos v
-        for k in range(LWr):
-            basep[k:k + 1, :] = s0[:, k * 128:(k + 1) * 128]
-
         iov = (jax.lax.broadcasted_iota(DT, (VWr, 128), 0) * 128
                + jax.lax.broadcasted_iota(DT, (VWr, 128), 1))
+        bpp[:, :] = jnp.where(iov < L0,
+                              (seed_r[0] & 127) | ((iov + 1) << 7), 0)
         nxtp[:, :] = jnp.where(iov < L0 - 1, iov + 1, -1)
         ringp[:, :] = iov
-        posp[:, :] = iov
         npredp[:, :] = jnp.where((iov >= 1) & (iov < L0), 1, 0)
         nsuccp[:, :] = jnp.where(iov < L0 - 1, 1, 0)
         iovp = jax.lax.broadcasted_iota(DT, (VW, 128), 0)
@@ -157,62 +209,102 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
         def round_body(r, carry):
             head, Vc, ovf = carry
             L = slen_at(r)
-            seqv = seqs_r[0, pl.ds(r, 1), :]      # char of pos j at lane j+1
+            seqv32 = seqs_r[0, pl.ds(r * FOLD, FOLD), :]   # folded chars
 
             def seqat(j):
-                return jnp.max(jnp.where(lane == j, seqv, -8))
+                return jnp.max(jnp.where(colidx == j, seqv32, -8))
 
-            colmask = lane <= L
+            colmask = colidx <= L
 
             # ---- DP row 0 ----
             if local:
                 row0 = jnp.where(colmask, 0, NEG16)
-                HH[0:1, :] = pack2(row0, row0).astype(DT)
+                HH[0:FOLD, :] = pack2(row0, row0).astype(DT)
             else:
-                gap1 = -(g + (lane - 1) * e)
-                gap2 = -(q + (lane - 1) * c)
+                gap1 = -(g + (colidx - 1) * e)
+                gap2 = -(q + (colidx - 1) * c)
                 row0 = jnp.maximum(gap1, gap2)
-                row0 = jnp.where(lane == 0, 0, row0)
-                HH[0:1, :] = pack2(jnp.where(colmask, row0, NEG16),
-                                   jnp.where(lane == 0, 0, NEG16)).astype(DT)
-            EE[0:1, :] = jnp.full((1, LW), pack2(NEG16, NEG16), DT)
+                row0 = jnp.where(colidx == 0, 0, row0)
+                HH[0:FOLD, :] = pack2(
+                    jnp.where(colmask, row0, NEG16),
+                    jnp.where(colidx == 0, 0, NEG16)).astype(DT)
+            EE[0:FOLD, :] = jnp.full((FOLD, LANES), pack2(NEG16, NEG16), DT)
 
-            NEGROW = jnp.full((1, LW), NEG16, DT)
+            NEGROW = jnp.full((FOLD, LANES), NEG16, DT)
+            ZROW = jnp.zeros((FOLD, LANES), DT)
 
             # ---- fill (walk the topo list; DP row = node id + 1) ----
             def fill_body(i, st):
                 v, best_val, best_node = st
-                pwrite(posp, v, i)
+                r8 = v // 128
+                mv = lane128 == (v % 128)
+                brow = bpp[pl.ds(r8, 1), :]
+                w = jnp.max(jnp.where(mv, brow, -1))
+                base_v = w & 127
+                # refresh topo position (threading guard reads it)
+                bpp[pl.ds(r8, 1), :] = jnp.where(
+                    mv, base_v | ((i + 1) << 7), brow)
                 np_ = pread(npredp, v)
                 predrow = predp[pl.ds(v, 1), :]
 
                 def ploop(p, acc):
-                    hmax, e1mx, e2mx = acc
+                    hmax, e1mx, e2mx, hs, e1s, e2s = acc
                     slot = jnp.max(jnp.where(lane128 == p, predrow, NEGBIG))
                     pid = jnp.where(p < np_, slot, -1)
-                    hh = HH[pl.ds(pid + 1, 1), :]
-                    ee = EE[pl.ds(pid + 1, 1), :]
-                    return (jnp.maximum(hmax, lo16(hh)),
-                            jnp.maximum(e1mx, lo16(ee)),
-                            jnp.maximum(e2mx, hi16(ee)))
+                    hh = HH[pl.ds(FOLD * (pid + 1), FOLD), :]
+                    ee = EE[pl.ds(FOLD * (pid + 1), FOLD), :]
+                    h = lo16(hh)
+                    x1 = lo16(ee)
+                    x2 = hi16(ee)
+                    uh = h > hmax
+                    u1 = x1 > e1mx
+                    u2 = x2 > e2mx
+                    return (jnp.maximum(hmax, h), jnp.maximum(e1mx, x1),
+                            jnp.maximum(e2mx, x2),
+                            jnp.where(uh, p, hs), jnp.where(u1, p, e1s),
+                            jnp.where(u2, p, e2s))
 
-                hmax, e1mx, e2mx = jax.lax.fori_loop(
-                    0, jnp.maximum(np_, 1), ploop, (NEGROW, NEGROW, NEGROW))
-                base_v = pread(basep, v)
-                sub = jnp.where(seqv == base_v, m, -n)
-                M = shift_right(hmax, 1, NEG16) + sub
-                e1 = jnp.maximum(jnp.maximum(hmax - g, e1mx - e), NEG16)
-                e2 = jnp.maximum(jnp.maximum(hmax - q, e2mx - c), NEG16)
-                hq = jnp.maximum(M, jnp.maximum(e1, e2))
+                hmax, e1mx, e2mx, hs, e1s, e2s = jax.lax.fori_loop(
+                    0, jnp.maximum(np_, 1), ploop,
+                    (NEGROW, NEGROW, NEGROW, ZROW, ZROW, ZROW))
+                sub = jnp.where(seqv32 == base_v, m, -n)
+                M = fshift1(hmax, NEG16) + sub
+                mslotr = fshift1(hs, 0)
+                e1_open = hmax - g
+                e1_ext = e1mx - e
+                e1o = e1_open >= e1_ext
+                e1r = jnp.maximum(jnp.maximum(e1_open, e1_ext), NEG16)
+                e1slotr = jnp.where(e1o, hs, e1s)
+                e2_open = hmax - q
+                e2_ext = e2mx - c
+                e2o = e2_open >= e2_ext
+                e2r = jnp.maximum(jnp.maximum(e2_open, e2_ext), NEG16)
+                e2slotr = jnp.where(e2o, hs, e2s)
+                hq = jnp.maximum(M, jnp.maximum(e1r, e2r))
                 if local:
                     hq = jnp.maximum(hq, 0)
-                G1 = cummax_lanes(hq + ej)
-                G2 = cummax_lanes(hq + cj)
-                F1 = shift_right(G1, 1, NEG16) - g - ej + e
-                F2 = shift_right(G2, 1, NEG16) - q - cj + c
+                    hqz = b1(hq == 0)
+                else:
+                    hqz = ZROW
+                hqselr = jnp.where(M == hq, 0, jnp.where(e1r == hq, 1, 2))
+                g1in = hq + ej
+                G1 = cummax_f(g1in)
+                f1new = g1in == G1
+                F1 = fshift1(G1, NEG16) - g - ej + e
+                g2in = hq + cj
+                G2 = cummax_f(g2in)
+                f2new = g2in == G2
+                F2 = fshift1(G2, NEG16) - q - cj + c
                 Hrow = jnp.maximum(hq, jnp.maximum(F1, F2))
-                HH[pl.ds(v + 1, 1), :] = pack2(Hrow, hq).astype(DT)
-                EE[pl.ds(v + 1, 1), :] = pack2(e1, e2).astype(DT)
+                HH[pl.ds(FOLD * (v + 1), FOLD), :] = pack2(Hrow, hq).astype(DT)
+                EE[pl.ds(FOLD * (v + 1), FOLD), :] = pack2(e1r, e2r).astype(DT)
+                code = (mslotr | (e1slotr << 7) | (b1(e1o) << 14)
+                        | (e2slotr << 15) | (b1(e2o) << 22)
+                        | (hqselr << 23) | (b1(hq == Hrow) << 25)
+                        | (b1(F1 == Hrow) << 26) | (b1(F2 == Hrow) << 27)
+                        | (b1(f1new) << 28) | (b1(f2new) << 29)
+                        | (hqz << 30))
+                CC[pl.ds(FOLD * (v + 1), FOLD), :] = code
                 if local:
                     rmax = jnp.max(jnp.where(colmask, Hrow, NEG16))
                     better = rmax > best_val
@@ -227,14 +319,14 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             # ---- end cell ----
             if local:
                 bi = jnp.maximum(best_node, 0) + 1
-                row = lo16(HH[pl.ds(bi, 1), :])
-                eqm = (row == best_val) & colmask
-                bj = jnp.min(jnp.where(eqm, lane, LW))
+                rowH = lo16(HH[pl.ds(FOLD * bi, FOLD), :])
+                eqm = (rowH == best_val) & colmask
+                bj = jnp.min(jnp.where(eqm, colidx, LW))
                 bv = best_val
             else:
                 def sink_body(i, st):
                     v, bv_, bn_ = st
-                    hv = lo16(cell(HH, v + 1, L))
+                    hv = lo16(cellf(HH, v + 1, L))
                     better = (pread(nsuccp, v) == 0) & (hv > bv_)
                     vn = pread(nxtp, v)
                     return (vn, jnp.where(better, hv, bv_),
@@ -247,163 +339,104 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             # ---- clear targets ----
             tgtp[:, :] = jnp.full((LWr, 128), -2, DT)
 
-            # ---- traceback (writes match targets only) ----
-            def getH(i, j):
-                return lo16(cell(HH, i, j))
-
-            def getHq(i, j):
-                return hi16(cell(HH, i, j))
-
-            def getE1(i, j):
-                return lo16(cell(EE, i, j))
-
-            def getE2(i, j):
-                return hi16(cell(EE, i, j))
-
+            # ---- traceback: chase the provenance codes ----
+            # chan: 0=H, 1=Hq (post-F, no F allowed), 2=E1, 3=E2
             def tb_cond(st):
-                return (~st[4]) & (st[5] < TB_CAP)
+                return (~st[3]) & (st[4] < TB_CAP)
 
             def tb_body(st):
-                i, j, chan, val, done, it, stuck = st
-                ni, nj, nchan, nval = i, j, chan, val
-                ndone = done
-
-                hlike = (chan <= 1)
+                i, j, chan, done, it, bad = st
+                hlike = chan <= 1
                 i0 = i == 0
                 if local:
-                    stop = hlike & (val == 0)
+                    stop = hlike & i0
+                    lead = jnp.bool_(False)
                 else:
                     stop = hlike & i0 & (j == 0)
-                ndone = ndone | stop
-
-                lead = hlike & i0 & (~stop) & (jnp.bool_(not local))
-                act = hlike & (~i0) & (~stop)
-
+                    lead = hlike & i0 & (~stop)
+                act = hlike & (~i0)
                 ii = jnp.maximum(i, 1)
-                nid = ii - 1                     # node id of the DP row
-                jm1 = jnp.maximum(j - 1, 0)
-                base_v = pread(basep, nid)
-                subv = jnp.where(seqat(j) == base_v, m, -n)
-
+                nid = ii - 1
+                cw = ccell(ii, j)
+                hqeq_c = ((cw >> 25) & 1) == 1
+                hq_route = act & ((chan == 1) | ((chan == 0) & hqeq_c))
+                if local:
+                    stop2 = hq_route & (((cw >> 30) & 1) == 1)
+                    hq_go = hq_route & (~stop2)
+                else:
+                    stop2 = jnp.bool_(False)
+                    hq_go = hq_route
+                hqsel_c = (cw >> 23) & 3
                 np_ = pread(npredp, nid)
                 predrow = predp[pl.ds(nid, 1), :]
 
-                def slot_at(p):
-                    s = jnp.max(jnp.where(lane128 == p, predrow, NEGBIG))
-                    return jnp.where(p < np_, s, -1)
+                def slotpid(s):
+                    sv = jnp.max(jnp.where(lane128 == s, predrow, NEGBIG))
+                    return jnp.where(s < np_, sv, -1)
 
-                def mloop(p, st2):
-                    mfound, mrow = st2
-                    pr = slot_at(p) + 1
-                    ok = act & (j > 0) & (~mfound) & \
-                        (getH(pr, jm1) + subv == val)
-                    return (mfound | ok, jnp.where(ok, pr, mrow))
+                m_take = hq_go & (hqsel_c == 0)
+                e1_in = (hq_go & (hqsel_c == 1)) | (chan == 2)
+                e2_in = (hq_go & (hqsel_c == 2)) | (chan == 3)
+                f_route = act & (chan == 0) & (~hqeq_c)
 
-                mfound, mpred = jax.lax.fori_loop(
-                    0, jnp.maximum(np_, 1), mloop,
-                    (jnp.bool_(False), jnp.int32(0)))
-                take_m = act & mfound
-                e1v = getE1(i, j)
-                e2v = getE2(i, j)
-                take_e1 = act & (~mfound) & (e1v == val)
-                take_e2 = act & (~mfound) & (~take_e1) & (e2v == val)
-                take_f = act & (chan == 0) & (~mfound) & (~take_e1) & \
-                    (~take_e2)
+                jm1 = jnp.maximum(j - 1, 0)
+                mpid = slotpid(cw & 127)
 
-                # --- F: locate nearest origin k (channel 1 first per k) ---
-                def f_scan(_):
-                    def cond(kk):
-                        k, f1, f2 = kk
-                        return (~f1) & (~f2) & (k >= 0)
-
-                    def body(kk):
-                        k, f1, f2 = kk
-                        hqk = getHq(i, k)
-                        c1 = hqk - g - e * (j - 1 - k) == val
-                        c2 = (~c1) & (hqk - q - c * (j - 1 - k) == val)
-                        stay = c1 | c2
-                        return (jnp.where(stay, k, k - 1), c1, c2)
-
-                    k, f1, f2 = jax.lax.while_loop(
-                        cond, body,
-                        (j - 1, jnp.bool_(False), jnp.bool_(False)))
-                    return jnp.maximum(k, 0)
-
-                forigin = jax.lax.cond(take_f, f_scan,
-                                       lambda _: jnp.int32(0), None)
-                nj = jnp.where(take_f, forigin, nj)
-                nchan = jnp.where(take_f, 1, nchan)
-                nval = jnp.where(take_f, getHq(i, forigin), nval)
-
-                # --- E channel step ---
-                in_e = (chan == 2) | (chan == 3)
-                op = jnp.where(chan == 2, g, q)
-                ex = jnp.where(chan == 2, e, c)
-
-                def eoloop(p, st2):
-                    eopen, erow = st2
-                    pr = slot_at(p) + 1
-                    ok = in_e & (~eopen) & (getH(pr, j) - op == val)
-                    return (eopen | ok, jnp.where(ok, pr, erow))
-
-                eopen, epred_o = jax.lax.fori_loop(
-                    0, jnp.maximum(np_, 1), eoloop,
-                    (jnp.bool_(False), jnp.int32(0)))
-
-                def exloop(p, st2):
-                    eext, erow = st2
-                    pr = slot_at(p) + 1
-                    ev = jnp.where(chan == 2, getE1(pr, j), getE2(pr, j))
-                    ok = in_e & (~eopen) & (~eext) & (ev - ex == val)
-                    return (eext | ok, jnp.where(ok, pr, erow))
-
-                eext, epred_x = jax.lax.fori_loop(
-                    0, jnp.maximum(np_, 1), exloop,
-                    (jnp.bool_(False), jnp.int32(0)))
-                epred = jnp.where(eopen, epred_o, epred_x)
-                ekick = in_e & (eopen | eext)
-                ni = jnp.where(ekick, epred, ni)
-                nchan = jnp.where(in_e & eopen, 0, nchan)
-                nval = jnp.where(in_e & eopen, getH(epred, j), nval)
-                eext_only = in_e & eext & (~eopen)
-                nval = jnp.where(eext_only & (chan == 2),
-                                 getE1(epred, j), nval)
-                nval = jnp.where(eext_only & (chan == 3),
-                                 getE2(epred, j), nval)
-                ndone = ndone | (in_e & (~eopen) & (~eext))
-
-                # --- E switches ---
-                nchan = jnp.where(take_e1, 2, nchan)
-                nchan = jnp.where(take_e2, 3, nchan)
-
-                # --- M move: the only move recorded in targets ---
-                @pl.when(take_m)
+                @pl.when(m_take)
                 def _():
                     twrite(jm1, nid)
-                ni = jnp.where(take_m, mpred, ni)
-                nj = jnp.where(take_m, j - 1, nj)
-                nchan = jnp.where(take_m, 0, nchan)
-                nval = jnp.where(take_m, getH(mpred, jm1), nval)
 
-                # --- global leading insertion through row 0 ---
+                e1pid = slotpid((cw >> 7) & 127)
+                e1open_c = ((cw >> 14) & 1) == 1
+                e2pid = slotpid((cw >> 15) & 127)
+                e2open_c = ((cw >> 22) & 1) == 1
+                f1h_c = ((cw >> 26) & 1) == 1
+                f2h_c = ((cw >> 27) & 1) == 1
+
+                def f_scan(_):
+                    def fc(kk):
+                        return (~kk[1]) & (kk[0] >= 0)
+
+                    def fb(kk):
+                        k, _ = kk
+                        ck = ccell(ii, k)
+                        hit = (f1h_c & (((ck >> 28) & 1) == 1)) | \
+                              (f2h_c & (((ck >> 29) & 1) == 1))
+                        return (jnp.where(hit, k, k - 1), hit)
+
+                    return jax.lax.while_loop(
+                        fc, fb, (j - 1, jnp.bool_(False)))
+
+                fk, fok = jax.lax.cond(
+                    f_route, f_scan,
+                    lambda _: (jnp.int32(0), jnp.bool_(True)), None)
+
+                ni, nj, nchan = i, j, chan
+                ni = jnp.where(m_take, mpid + 1, ni)
+                nj = jnp.where(m_take, j - 1, nj)
+                nchan = jnp.where(m_take, 0, nchan)
+                ni = jnp.where(e1_in, e1pid + 1, ni)
+                nchan = jnp.where(e1_in, jnp.where(e1open_c, 0, 2), nchan)
+                ni = jnp.where(e2_in, e2pid + 1, ni)
+                nchan = jnp.where(e2_in, jnp.where(e2open_c, 0, 3), nchan)
+                nj = jnp.where(f_route, fk, nj)
+                nchan = jnp.where(f_route, 1, nchan)
                 nj = jnp.where(lead, j - 1, nj)
-                nval = jnp.where(lead, getH(0, jm1), nval)
                 nchan = jnp.where(lead, 0, nchan)
-
-                stuck_now = act & (~take_m) & (~take_e1) & (~take_e2) & \
-                    (~take_f) & (chan == 1)
-                ndone = ndone | stuck_now
-
-                return (ni, nj, nchan, nval, ndone, it + 1,
-                        stuck | stuck_now)
+                ndone = done | stop | stop2
+                nbad = bad | (f_route & (~fok))
+                return (ni, nj, nchan, ndone, it + 1, nbad)
 
             done0 = (bv <= 0) if local else jnp.bool_(False)
             done0 = done0 | (L == 0)
-            st = jax.lax.while_loop(
-                tb_cond, tb_body,
-                (bi, bj, jnp.int32(0), bv, done0, jnp.int32(0),
-                 jnp.bool_(False)))
-            tb_bad = st[6] | (~st[4])     # stuck or iteration overrun
+            if stage == 1:
+                tb_bad = jnp.bool_(False)
+            else:
+                st = jax.lax.while_loop(
+                    tb_cond, tb_body,
+                    (bi, bj, jnp.int32(0), done0, jnp.int32(0),
+                     jnp.bool_(False)))
+                tb_bad = st[5] | (~st[3])     # bad chase or iteration overrun
 
             # ---- threading ----
             pathrow0 = jnp.full((1, LW), -1, DT)
@@ -415,15 +448,17 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                 tvalid = t >= 0
                 t0 = jnp.maximum(t, 0)
 
-                hit0 = tvalid & (pread(basep, t0) == b) & \
-                    (pread(posp, t0) > guard)
+                w0 = bp_read(t0)
+                hit0 = tvalid & ((w0 & 127) == b) & \
+                    (((w0 >> 7) & POSM) - 1 > guard)
 
                 def ring_rest(_):
                     def rbody(s, st3):
                         found, vsel, cand, wrapped = st3
                         okc = (~found) & (~wrapped)
-                        ok = okc & (pread(basep, cand) == b) & \
-                            (pread(posp, cand) > guard)
+                        wc = bp_read(cand)
+                        ok = okc & ((wc & 127) == b) & \
+                            (((wc >> 7) & POSM) - 1 > guard)
                         vsel = jnp.where(ok, cand, vsel)
                         found = found | ok
                         cn = pread(ringp, cand)
@@ -447,7 +482,10 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                     vnew = Vc_
                     o = vnew >= VW
                     vc = jnp.minimum(vnew, VW - 1)
-                    pwrite(basep, vc, b)
+                    prevc = jnp.maximum(prev, 0)
+                    posv = jnp.where(prev < 0, -1,
+                                     ((bp_read(prevc) >> 7) & POSM) - 1)
+                    pwrite(bpp, vc, b | ((posv + 1) << 7))
 
                     @pl.when(tvalid)
                     def _():
@@ -455,15 +493,12 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                         pwrite(ringp, vc, rt)
                         pwrite(ringp, t0, vc)
 
-                    prevc = jnp.maximum(prev, 0)
                     nxt_t = jnp.where(prev < 0, head_, pread(nxtp, prevc))
                     pwrite(nxtp, vc, nxt_t)
 
                     @pl.when(prev >= 0)
                     def _():
                         pwrite(nxtp, prevc, vc)
-                    posv = jnp.where(prev < 0, -1, pread(posp, prevc))
-                    pwrite(posp, vc, posv)
                     nh = jnp.where(prev < 0, vc, head_)
                     return (vc, nh, Vc_ + 1, o)
 
@@ -471,8 +506,9 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                     found,
                     lambda _: (vsel, head_, Vc_, jnp.bool_(False)),
                     mk_new, None)
-                nguard = jnp.where(found, pread(posp, jnp.maximum(v, 0)),
-                                   guard)
+                nguard = jnp.where(
+                    found,
+                    ((bp_read(jnp.maximum(v, 0)) >> 7) & POSM) - 1, guard)
 
                 # edge prev -> v (dedup in the 128-lane pred row)
                 predrow = predp[pl.ds(v, 1), :]
@@ -494,6 +530,9 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                 pathrow = jnp.where(lane == j, v, pathrow)
                 return (v, nguard, nVc, nh, pathrow, ovf_ | o)
 
+            if stage in (1, 2):
+                paths_r[0, pl.ds(r, 1), :] = pathrow0
+                return (head, Vc, ovf | tb_bad)
             prev, guard, Vc2, head2, pathrow, ovf2 = jax.lax.fori_loop(
                 0, L, thr_body,
                 (jnp.int32(-1), jnp.int32(-1), Vc, head, pathrow0,
@@ -505,7 +544,7 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             1, R, round_body, (jnp.int32(0), L0, jnp.bool_(False)))
 
         # ================= export =================
-        exp_r[0, 0:VWr, :] = basep[:, :]
+        exp_r[0, 0:VWr, :] = bpp[:, :] & 127
         exp_r[0, VWr:2 * VWr, :] = ringp[:, :]
 
         def ord_body(i, v):
@@ -532,8 +571,10 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                          memory_space=pltpu.SMEM),       # params
             pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),       # seq lengths
-            pl.BlockSpec((1, RW, LW), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),       # sequences
+            pl.BlockSpec((1, VWr, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),       # seed (node-aligned)
+            pl.BlockSpec((1, RW * FOLD, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),       # sequences (folded)
         ],
         out_specs=[
             pl.BlockSpec((1, 1, 4), lambda b: (b, 0, 0),
@@ -544,15 +585,15 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                          memory_space=pltpu.VMEM),       # paths
         ],
         scratch_shapes=[
-            pltpu.VMEM((VW + 1, LW), DT),    # HH
-            pltpu.VMEM((VW + 1, LW), DT),    # EE
+            pltpu.VMEM(((VW + 1) * FOLD, LANES), DT),    # HH (folded)
+            pltpu.VMEM(((VW + 1) * FOLD, LANES), DT),    # EE (folded)
+            pltpu.VMEM(((VW + 1) * FOLD, LANES), DT),    # CC codes (folded)
             pltpu.VMEM((VW, 128), DT),       # pred slots
             pltpu.VMEM((VWr, 128), DT),      # npred
             pltpu.VMEM((VWr, 128), DT),      # nsucc
-            pltpu.VMEM((VWr, 128), DT),      # base
+            pltpu.VMEM((VWr, 128), DT),      # base|pos
             pltpu.VMEM((VWr, 128), DT),      # ring
             pltpu.VMEM((VWr, 128), DT),      # nxt
-            pltpu.VMEM((VWr, 128), DT),      # pos
             pltpu.VMEM((LWr, 128), DT),      # targets
         ],
     )
@@ -567,23 +608,32 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
         ],
         interpret=interpret,
     )
+    return pallas_fn
 
-    def fn(nseq, par, slen, seqs):
+
+def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
+              B: int, stage: int = 0):
+    import jax.numpy as jnp
+
+    pallas_fn = _pallas_core(VW, LW, RW, local, interpret, B, stage)
+
+    def fn(nseq, par, slen, seed, seqs):
         # sequences ship int8 over the tunnel; upcast on device.  Outputs
         # downcast to int16 on device before D2H (node ids < VW < 32768).
         meta, exp, paths = pallas_fn(nseq, par, slen.astype(jnp.int32),
+                                     seed.astype(jnp.int32),
                                      seqs.astype(jnp.int32))
         return meta[:, 0, :], exp.astype(jnp.int16), paths.astype(jnp.int16)
 
     return fn
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=64)
 def _compiled_fused(VW: int, LW: int, RW: int, local: bool, interpret: bool,
-                    B: int):
+                    B: int, stage: int = 0):
     import jax
 
-    fn = _fused_fn(VW, LW, RW, local, interpret, B)
+    fn = _fused_fn(VW, LW, RW, local, interpret, B, stage)
     jfn = jax.jit(fn)
     holder = {}
 
@@ -600,6 +650,36 @@ def _compiled_fused(VW: int, LW: int, RW: int, local: bool, interpret: bool,
     return call
 
 
+@functools.lru_cache(maxsize=16)
+def _paths_slicer(rcap: int, lcap: int):
+    """Device-side slice of the paths buffer to the chunk's actual
+    sequence-count/length tier before D2H: the axon tunnel runs at
+    single-digit MB/s under contention, so shipping (RW, LW) int16 when
+    (16, 1024) suffices costs seconds per call.  A separate tiny jit so
+    the expensive Mosaic kernel compiles once per `local` variant — slice
+    tiers never touch its cache."""
+    import jax
+
+    def f(paths):
+        return paths[:, :rcap, :lcap]
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=8)
+def _exp_slicer(VWr: int, vr: int):
+    """Device-side slice of the export planes to ceil(Vmax/128) rows
+    before D2H (the planes are (B, 3*VWr, 128) but only the first Vmax
+    nodes of each plane carry data)."""
+    import jax
+
+    def f(exp):
+        e = exp.reshape(exp.shape[0], 3, VWr, 128)
+        return e[:, :, :vr, :]
+
+    return jax.jit(f)
+
+
 class FusedPallasEngine:
     """Block-level device engine: ONE dispatch per batch of blocks.
 
@@ -612,7 +692,14 @@ class FusedPallasEngine:
 
     SHAPE = (4096, 2048)      # (VW, LW)
 
-    def __init__(self, max_seqs: int = 48, max_batch: int = 32,
+    # D2H slice tiers (see _fused_fn rcap/lcap): few enough that the thin
+    # XLA wrapper variants stay cheap, fine enough to cut most of the
+    # padded paths-buffer transfer
+    RCAPS = (16, 48)
+    LCAPS = (512, 1024, 2048)
+    VRS = (8, 16, 32)
+
+    def __init__(self, max_seqs: int = 48, max_batch: int = 64,
                  shape: tuple = SHAPE, interpret: bool = False,
                  validate: bool = True):
         from . import poa_native
@@ -652,13 +739,16 @@ class FusedPallasEngine:
         par = np.tile(np.array([[[1, 4, 6, 2, 26, 1]]], np.int32), (B, 1, 1))
         slen = np.zeros((B, 1, 128), np.int16)
         slen[:, 0, 0] = 1
-        seqs = np.full((B, self.RW, self.LW), -1, np.int8)
+        seed = np.full((B, self.VW // 128, 128), -1, np.int8)
+        seed[:, 0, 0] = 0
+        seqs = np.full((B, self.RW * FOLD, self.LW // FOLD), -1, np.int8)
         seqs[:, 0, 1] = 0
         for local in locals_:
             fn = _compiled_fused(self.VW, self.LW, self.RW, local,
                                  self.interpret, B)
             meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
-                                  jnp.asarray(slen), jnp.asarray(seqs))
+                                  jnp.asarray(slen), jnp.asarray(seed),
+                                  jnp.asarray(seqs))
             np.asarray(meta)
 
     def _eligible(self, seqs) -> bool:
@@ -667,6 +757,8 @@ class FusedPallasEngine:
         for s in seqs:
             if len(s) == 0 or len(s) + 1 > self.LW:
                 return False
+        if len(seqs[0]) > self.VW:
+            return False
         return True
 
     def poa_block_batch(self, blocks):
@@ -696,7 +788,15 @@ class FusedPallasEngine:
         for chunk, meta, exp, paths in handles:
             t0 = _time.perf_counter()
             meta = np.asarray(meta)
-            exp = np.asarray(exp).astype(np.int32)
+            VWr = self.VW // 128
+            ok = (meta[:len(chunk), 1] == 0) & (meta[:len(chunk), 0] <= self.VW)
+            maxv = int(meta[:len(chunk), 0][ok].max(initial=0))
+            vr = next((t for t in self.VRS if t * 128 >= maxv), VWr)
+            vr = min(vr, VWr)
+            if vr < VWr:
+                exp = _exp_slicer(VWr, vr)(exp)
+            exp = np.asarray(exp).astype(np.int32).reshape(
+                len(meta), 3, -1)
             paths = np.asarray(paths).astype(np.int32)
             self.device_s += _time.perf_counter() - t0
             for b, i in enumerate(chunk):
@@ -705,8 +805,7 @@ class FusedPallasEngine:
                 if meta[b, 1] != 0 or V > self.VW:
                     redo.append(i)
                     continue
-                VWr = self.VW // 128
-                planes = exp[b].reshape(3, VWr * 128)
+                planes = exp[b]
                 base = planes[0, :V]
                 ring = planes[1, :V]
                 order = planes[2, :V]
@@ -738,10 +837,11 @@ class FusedPallasEngine:
     def _launch(self, blocks, chunk):
         import jax.numpy as jnp
         B = len(chunk) if self.interpret else self.max_batch
-        RW, LW = self.RW, self.LW
+        RW, LW, VW = self.RW, self.LW, self.VW
         nseq = np.zeros((B, 1, 1), np.int32)
         par = np.zeros((B, 1, 6), np.int32)
         slen = np.zeros((B, 1, 128), np.int16)
+        seed = np.full((B, VW // 128, 128), -1, np.int8)
         seqs = np.full((B, RW, LW), -1, np.int8)
         for b, i in enumerate(chunk):
             sq, weights, p = blocks[i]
@@ -750,9 +850,20 @@ class FusedPallasEngine:
             for r, s in enumerate(sq):
                 slen[b, 0, r] = len(s)
                 seqs[b, r, 1:len(s) + 1] = s
+            s0 = sq[0]
+            seed[b].reshape(-1)[:len(s0)] = s0
+        seqs = seqs.reshape(B, RW * FOLD, LW // FOLD)
         local = blocks[chunk[0]][2].local
-        fn = _compiled_fused(self.VW, self.LW, RW, local, self.interpret, B)
+        fn = _compiled_fused(VW, LW, RW, local, self.interpret, B)
         meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
-                              jnp.asarray(slen), jnp.asarray(seqs))
+                              jnp.asarray(slen), jnp.asarray(seed),
+                              jnp.asarray(seqs))
+        # slice the paths D2H to the chunk's tier while still on device
+        maxr = max(len(blocks[i][0]) for i in chunk)
+        maxl = max(len(s) for i in chunk for s in blocks[i][0])
+        rcap = next((t for t in self.RCAPS if t >= maxr), RW)
+        lcap = next((t for t in self.LCAPS if t >= maxl), LW)
+        if not self.interpret and (rcap < RW or lcap < LW):
+            paths = _paths_slicer(min(rcap, RW), min(lcap, LW))(paths)
         self.calls += 1
         return chunk, meta, exp, paths

@@ -92,6 +92,12 @@ def _make_engine(cfg: Config):
     if cfg.engine == "pallas":
         from ..ops.poa_pallas import PallasPOAEngine
         return PallasPOAEngine()
+    if cfg.engine == "fused":
+        from ..ops.poa_pallas_fused import FusedPallasEngine
+        return FusedPallasEngine()
+    if cfg.engine == "native":
+        from ..ops.poa_native import NativePOAEngine
+        return NativePOAEngine()
     from ..ops.poa_jax import JaxPOAEngine
     return JaxPOAEngine()
 
