@@ -153,6 +153,8 @@ def main(argv=None) -> int:
             n_haps=args.n_haps,
             max_block_weight=(int(handy_parameter(args.block_weight_max))
                               if args.block_weight_max else None),
+            threads=max(1, args.threads),
+            poa_threads=max(0, args.poa_threads),
             max_path_jump=int(handy_parameter(args.path_jump_max, 100)),
             max_edge_jump=int(handy_parameter(args.edge_jump_max, 0)),
             min_copy_length=int(handy_parameter(args.copy_length_min, 1000)),

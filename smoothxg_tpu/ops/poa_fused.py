@@ -195,28 +195,41 @@ def rehydrate(base: np.ndarray, ring: np.ndarray, order: list[int],
     g.preds = [[] for _ in range(V)]
     g.succs = [[] for _ in range(V)]
 
-    # groups from ring cycles (group id = first-seen member, ascending)
-    group_of = np.full(V, -1, dtype=np.int64)
-    for v in range(V):
-        if group_of[v] >= 0:
-            continue
-        gid = len(g.group_members)
-        members = []
-        c = v
-        while group_of[c] < 0:
-            group_of[c] = gid
-            members.append(c)
-            c = int(ring[c])
-        g.group_members.append(sorted(members))
-    g.group = [int(group_of[v]) for v in range(V)]
+    # groups from ring cycles (group id = first-seen member, ascending).
+    # ring is a permutation whose cycles have <= RING_CAP members, so
+    # log2(RING_CAP) rounds of pointer doubling reach every cycle minimum.
+    ringa = np.asarray(ring, dtype=np.int64)
+    mins = np.minimum(np.arange(V, dtype=np.int64), ringa)
+    hop = ringa
+    steps = max(1, (RING_CAP - 1).bit_length())
+    for _ in range(steps):
+        mins = np.minimum(mins, mins[hop])
+        hop = hop[hop]
+    # first-seen scan order ascending == group ids ordered by cycle min
+    uniq, group_of = np.unique(mins, return_inverse=True)
+    g.group = group_of.tolist()
+    g.group_members = [[] for _ in range(len(uniq))]
+    for v, gid in enumerate(g.group):
+        g.group_members[gid].append(v)
 
-    for path, w in zip(paths, weights):
-        for u, v in zip(path, path[1:]):
-            key = (u, v)
-            if key in g.edge_w:
-                g.edge_w[key] += w
-            else:
-                g.edge_w[key] = w
+    # edges: consecutive path entries, weights summed per distinct (u, v);
+    # succ/pred slot order preserved as first-seen across paths in order
+    if V and paths:
+        pw = [(np.asarray(p, dtype=np.int64), w)
+              for p, w in zip(paths, weights) if len(p) > 1]
+        if pw:
+            us = np.concatenate([p[:-1] for p, _ in pw])
+            vs = np.concatenate([p[1:] for p, _ in pw])
+            ws = np.concatenate([np.full(len(p) - 1, w, dtype=np.int64)
+                                 for p, w in pw])
+            keys = us * V + vs
+            uk, first, inv = np.unique(keys, return_index=True,
+                                       return_inverse=True)
+            wsum = np.bincount(inv, weights=ws).astype(np.int64)
+            for pos in np.argsort(first, kind="stable"):
+                u = int(uk[pos]) // V
+                v = int(uk[pos]) % V
+                g.edge_w[(u, v)] = int(wsum[pos])
                 g.succs[u].append(v)
                 g.preds[v].append(u)
     g.seq_paths = [list(p) for p in paths]

@@ -51,28 +51,43 @@ def break_blocks(
     order_paths_from_longest: bool = True,
     break_repeats: bool = True,
     write_split_blocks_dir: str = "",
+    threads: int = 1,
 ) -> Blockset:
+    kw = dict(
+        max_poa_length=max_poa_length, min_copy_length=min_copy_length,
+        max_copy_length=max_copy_length, min_autocorr_z=min_autocorr_z,
+        autocorr_stride=autocorr_stride,
+        order_paths_from_longest=order_paths_from_longest,
+        break_repeats=break_repeats,
+        length_ratio_min=length_ratio_min,
+        min_length_mash=min_length_mash_based_clustering,
+        block_group_identity=block_group_identity,
+        block_group_est_identity=block_group_est_identity,
+        kmer_size=kmer_size,
+        min_dedup_depth_split=min_dedup_depth_for_block_splitting,
+        min_dedup_depth_mash=min_dedup_depth_for_mash_clustering,
+    )
+    blocks = list(blockset)
+    if threads > 1 and len(blocks) >= 2 * threads:
+        # reference: OMP parallel block loop + ordered writer thread
+        # (src/breaks.cpp:198); chunk order preserves block order here
+        import pickle
+        from ..utils.procpool import chunked, get_pool
+        global _IDX_SEQ
+        _IDX_SEQ += 1
+        idx_bytes = pickle.dumps(idx)
+        pool = get_pool(threads)
+        futs = [pool.submit(_break_chunk, _IDX_SEQ, idx_bytes, chunk, kw)
+                for chunk in chunked(blocks, 4 * threads)]
+        per_block = [r for f in futs for r in f.result()]
+    else:
+        per_block = [_break_one(idx, b, kw) for b in blocks]
+
     out = Blockset()
     n_cut = n_repeat = n_split = 0
-
-    for in_bid, block in enumerate(blockset):
-        block = _cut_block(idx, block, max_poa_length, min_copy_length,
-                           max_copy_length, min_autocorr_z, autocorr_stride,
-                           order_paths_from_longest, break_repeats,
-                           _counters := [0, 0])
-        n_cut += _counters[0]
-        n_repeat += _counters[1]
-
-        splits = _split_block(
-            idx, block,
-            length_ratio_min=length_ratio_min,
-            min_length_mash=min_length_mash_based_clustering,
-            block_group_identity=block_group_identity,
-            block_group_est_identity=block_group_est_identity,
-            kmer_size=kmer_size,
-            min_dedup_depth_split=min_dedup_depth_for_block_splitting,
-            min_dedup_depth_mash=min_dedup_depth_for_mash_clustering,
-        )
+    for in_bid, (splits, cut, rep) in enumerate(per_block):
+        n_cut += cut
+        n_repeat += rep
         if len(splits) > 1:
             n_split += 1
             if write_split_blocks_dir:
@@ -86,6 +101,41 @@ def break_blocks(
              f"cut {n_cut} blocks of which {n_repeat} had repeats; "
              f"split {n_split} blocks -> {len(out)} blocks")
     return out
+
+
+def _break_one(idx, block, kw) -> tuple[list[Block], int, int]:
+    counters = [0, 0]
+    block = _cut_block(idx, block, kw["max_poa_length"],
+                       kw["min_copy_length"], kw["max_copy_length"],
+                       kw["min_autocorr_z"], kw["autocorr_stride"],
+                       kw["order_paths_from_longest"], kw["break_repeats"],
+                       counters)
+    splits = _split_block(
+        idx, block,
+        length_ratio_min=kw["length_ratio_min"],
+        min_length_mash=kw["min_length_mash"],
+        block_group_identity=kw["block_group_identity"],
+        block_group_est_identity=kw["block_group_est_identity"],
+        kmer_size=kw["kmer_size"],
+        min_dedup_depth_split=kw["min_dedup_depth_split"],
+        min_dedup_depth_mash=kw["min_dedup_depth_mash"],
+    )
+    return splits, counters[0], counters[1]
+
+
+# worker-side index cache (same protocol as pipeline/smooth.py finalize)
+_W_IDX_VER: int | None = None
+_W_IDX = None
+_IDX_SEQ = 0
+
+
+def _break_chunk(idx_ver, idx_bytes, blocks, kw):
+    global _W_IDX_VER, _W_IDX
+    if _W_IDX_VER != idx_ver:
+        import pickle
+        _W_IDX = pickle.loads(idx_bytes)
+        _W_IDX_VER = idx_ver
+    return [_break_one(_W_IDX, b, kw) for b in blocks]
 
 
 def _write_split_fastas(idx, outdir, in_bid, splits) -> None:

@@ -37,6 +37,10 @@ class Config:
     max_copy_length: int = 20000
     min_autocorr_z: float = 5.0
     autocorr_stride: int = 50
+    # host-stage parallelism: -t for breaks/finalize, -T overrides for the
+    # per-block finalize loop (reference: omp threads / poa_threads)
+    threads: int = 1
+    poa_threads: int = 0
     # block splitting
     block_group_identity: float = 0.0
     block_group_est_identity: float | None = None
@@ -166,7 +170,8 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                 kmer_size=cfg.kmer_size,
                 min_dedup_depth_for_block_splitting=cfg.min_dedup_depth_for_block_splitting,
                 min_dedup_depth_for_mash_clustering=cfg.min_dedup_depth_for_mash_clustering,
-                write_split_blocks_dir=(tmpdir if cfg.write_split_blocks else ""))
+                write_split_blocks_dir=(tmpdir if cfg.write_split_blocks else ""),
+                threads=cfg.threads)
 
         m, n, gp, e, q, c = cfg.poa_params
         params = POAParams(m, n, gp, e, q, c,
@@ -192,7 +197,8 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                 collect_stats=bool(cfg.block_stats) and last,
                 write_poa_blocks_ms=cfg.write_poa_blocks_ms,
                 fasta_dir=tmpdir,
-                graph_cache=graph_cache)
+                graph_cache=graph_cache,
+                threads=cfg.poa_threads or cfg.threads)
         if cfg.block_stats and last:
             from .smooth import write_block_stats
             write_block_stats(cfg.block_stats, results)

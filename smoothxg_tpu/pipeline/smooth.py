@@ -200,6 +200,7 @@ def smooth_blocks(
     write_poa_blocks_ms: int | None = None,
     fasta_dir: str = ".",
     graph_cache=None,
+    threads: int = 1,
 ) -> list[BlockResult]:
     """Smooth every block; returns BlockResults in block-id order."""
     engine = engine or HostPOAEngine()
@@ -239,7 +240,7 @@ def smooth_blocks(
             st.poa_ms = ms_each
         return _finish_blocks(idx, states, consensus_base_name, produce_maf,
                               collect_stats, write_poa_blocks_ms, fasta_dir,
-                              graph_cache, max_rounds)
+                              graph_cache, max_rounds, threads)
 
     # round-synchronized POA: round 0 seeds the graph, round r aligns the
     # r-th unique sequence of every still-active block (device-batchable)
@@ -299,17 +300,51 @@ def smooth_blocks(
 
     return _finish_blocks(idx, states, consensus_base_name, produce_maf,
                           collect_stats, write_poa_blocks_ms, fasta_dir,
-                          graph_cache, max_rounds)
+                          graph_cache, max_rounds, threads)
+
+
+# worker-side FlatIndex cache for the finalize pool: the index is pickled
+# once per smooth_blocks call and re-sent with every chunk (bytes re-use
+# makes that a memcpy); workers deserialize only when the version changes
+_W_IDX_VER: int | None = None
+_W_IDX = None
+_IDX_SEQ = 0
+
+
+def _finalize_chunk(idx_ver: int, idx_bytes: bytes, sts: list,
+                    add_consensus: bool, consensus_base_name: str,
+                    produce_maf: bool) -> list:
+    global _W_IDX_VER, _W_IDX
+    if _W_IDX_VER != idx_ver:
+        import pickle
+        _W_IDX = pickle.loads(idx_bytes)
+        _W_IDX_VER = idx_ver
+    return [_finalize_block(_W_IDX, st, add_consensus, consensus_base_name,
+                            produce_maf) for st in sts]
 
 
 def _finish_blocks(idx, states, consensus_base_name, produce_maf,
                    collect_stats, write_poa_blocks_ms, fasta_dir,
-                   graph_cache, max_rounds) -> list[BlockResult]:
+                   graph_cache, max_rounds, threads=1) -> list[BlockResult]:
     add_consensus = bool(consensus_base_name)
-    results = [
-        _finalize_block(idx, st, add_consensus, consensus_base_name, produce_maf)
-        for st in states
-    ]
+    if threads > 1 and len(states) >= 2 * threads:
+        # reference: OMP dynamic loop over blocks (src/smooth.cpp:1904)
+        import pickle
+        from ..utils.procpool import chunked, get_pool
+        global _IDX_SEQ
+        _IDX_SEQ += 1
+        idx_bytes = pickle.dumps(idx)
+        pool = get_pool(threads)
+        futs = [pool.submit(_finalize_chunk, _IDX_SEQ, idx_bytes, chunk,
+                            add_consensus, consensus_base_name, produce_maf)
+                for chunk in chunked(states, 4 * threads)]
+        results = [res for f in futs for res in f.result()]
+    else:
+        results = [
+            _finalize_block(idx, st, add_consensus, consensus_base_name,
+                            produce_maf)
+            for st in states
+        ]
     if collect_stats:
         for st, res in zip(states, results):
             res.stats = _block_stats(st, res)

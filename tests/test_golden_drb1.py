@@ -1,0 +1,78 @@
+"""Golden structural metrics for the full 3-iteration DRB1 pipeline.
+
+The reference repo ships no golden outputs and its deps/ submodules are
+empty (binary unbuildable in this image), so reference-exact comparison is
+impossible; instead this records the structural metrics of this repo's own
+canonical run (reference command: test/performance/check.md:5-16,
+`-l 700,900,1100 -C consensus,10,100:... -r 12`) and pins them within
+tight bounds, plus hard invariants the reference also guarantees:
+
+  * every input path reconstructs byte-identically (src/main.cpp:762-800),
+  * consensus paths exist for every spec entry,
+  * MAF a-block count == final-iteration block count,
+  * node/edge/step counts stay within +-10% of the recorded golden run
+    (catches silent block-finding / POA / lace regressions while allowing
+    benign reordering-level drift).
+
+Engine: native C++ (bit-for-bit fused-oracle parity is covered by
+tests/test_poa_native.py; the TPU kernel's parity by
+tests/test_poa_pallas_fused.py) — so a drift here isolates to the
+host pipeline stages.
+"""
+import pytest
+
+from smoothxg_tpu.io.gfa import read_gfa
+from smoothxg_tpu.pipeline.run import Config, run_smoothing
+
+# recorded 2026-08-17 from the canonical run (engine=native, use_sgd=True)
+GOLDEN = {
+    "nodes": 4768,
+    "edges": 6507,
+    "paths": 29,          # 12 input + 17 consensus
+    "steps": 36315,
+    "cons": 17,
+    "maf_blocks": 17,
+    "total_bp": 190080,   # input 163,416 + consensus paths
+}
+TOL = 0.10
+
+
+@pytest.mark.slow
+def test_golden_drb1_three_iterations(drb1_path, tmp_path):
+    from smoothxg_tpu.ops import poa_native
+    if not poa_native.available():      # pragma: no cover
+        pytest.skip("native engine unavailable")
+    out = str(tmp_path / "out.gfa")
+    maf = str(tmp_path / "out.maf")
+    cfg = Config(
+        gfa_in=drb1_path, smoothed_out=out,
+        n_haps=12, max_path_jump=5000, max_edge_jump=5000,
+        poa_length_targets=[700, 900, 1100],
+        use_sgd=True, add_consensus=True,
+        write_msa_in_maf_format=maf,
+        engine="native", tmp_base=str(tmp_path),
+    )
+    outp, cons = run_smoothing(cfg)
+    g = read_gfa(outp)
+    orig = read_gfa(drb1_path)
+
+    # hard invariant: byte-identical path reconstruction
+    for i in range(orig.path_count()):
+        name = orig.path_names[i]
+        assert g.path_seq(g.get_path(name)) == orig.path_seq(i)
+
+    got = {
+        "nodes": g.node_count(),
+        "edges": g.edge_count(),
+        "paths": g.path_count(),
+        "steps": sum(len(g.path_steps[i]) for i in range(g.path_count())),
+        "cons": len(cons),
+        "maf_blocks": open(maf).read().count("\na "),
+        "total_bp": sum(len(g.path_seq(i)) for i in range(g.path_count())),
+    }
+    # consensus/maf/path counts are exact; size metrics within tolerance
+    for k in ("paths", "cons", "maf_blocks"):
+        assert got[k] == GOLDEN[k], (k, got)
+    for k in ("nodes", "edges", "steps", "total_bp"):
+        lo, hi = GOLDEN[k] * (1 - TOL), GOLDEN[k] * (1 + TOL)
+        assert lo <= got[k] <= hi, (k, got)
