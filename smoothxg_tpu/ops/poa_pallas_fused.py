@@ -73,7 +73,10 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                  B: int, stage: int = 0):
     # stage is a PROFILING knob (tools/profile_fused.py): 0 = full kernel,
     # 1 = fill + end-cell only (skip traceback + threading), 2 = skip
-    # threading only.  stage != 0 produces invalid graphs by design.
+    # threading only, 3 = threading without the ring scan, 4 = threading
+    # without node creation / edge bookkeeping (reuse-only), to attribute
+    # threading time to its branches.  stage != 0 produces invalid graphs
+    # by design.
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -90,8 +93,7 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
     def kernel(nseq_s, par_s, slen_r, seed_r, seqs_r,
                meta_r, exp_r, paths_r,
                HH, EE, CC, predp, npredp, nsuccp, bpp, ringp, nxtp,
-               tgtp):
-        lane = jax.lax.broadcasted_iota(DT, (1, LW), 1)
+               tgtp, pathp):
         lane128 = jax.lax.broadcasted_iota(DT, (1, 128), 1)
         subf = jax.lax.broadcasted_iota(DT, (FOLD, LANES), 0)
         lanef = jax.lax.broadcasted_iota(DT, (FOLD, LANES), 1)
@@ -158,20 +160,26 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             row = tgtp[pl.ds(j // 128, 1), :]
             return jnp.max(jnp.where(lane128 == (j % 128), row, NEGBIG))
 
-        def twrite(j, val):
+        def lwrite(ref, j, val):
             r = j // 128
             m = lane128 == (j % 128)
-            row = tgtp[pl.ds(r, 1), :]
-            tgtp[pl.ds(r, 1), :] = jnp.where(m, val, row)
+            row = ref[pl.ds(r, 1), :]
+            ref[pl.ds(r, 1), :] = jnp.where(m, val, row)
 
-        # folded cell reads at dynamic (row i, col j)
+        def twrite(j, val):
+            lwrite(tgtp, j, val)
+
+        lanefr = jax.lax.broadcasted_iota(DT, (1, LANES), 1)
+
+        # folded cell reads at dynamic (row i, col j): only the single
+        # (1, LANES) sublane holding column j is touched
         def cellf(ref, i, j):
-            rows = ref[pl.ds(FOLD * i, FOLD), :]
-            return jnp.max(jnp.where(colidx == j, rows, NEGBIG))
+            row = ref[pl.ds(FOLD * i + j // LANES, 1), :]
+            return jnp.max(jnp.where(lanefr == (j % LANES), row, NEGBIG))
 
         def ccell(i, j):
-            rows = CC[pl.ds(FOLD * i, FOLD), :]
-            return jnp.max(jnp.where(colidx == j, rows, -1))
+            row = CC[pl.ds(FOLD * i + j // LANES, 1), :]
+            return jnp.max(jnp.where(lanefr == (j % LANES), row, -1))
 
         R = nseq_s[0, 0, 0]
         m = par_s[0, 0, 0]
@@ -203,16 +211,15 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
         lanesp = jax.lax.broadcasted_iota(DT, (VW, 128), 1)
         predp[:, :] = jnp.where((lanesp == 0) & (iovp >= 1) & (iovp < L0),
                                 iovp - 1, -9)
-        paths_r[0, 0:1, :] = jnp.where(lane < L0, lane, -1)
+        iol = (jax.lax.broadcasted_iota(DT, (LWr, 128), 0) * 128
+               + jax.lax.broadcasted_iota(DT, (LWr, 128), 1))
+        paths_r[0, 0:LWr, :] = jnp.where(iol < L0, iol, -1)
 
         # ================= per-sequence rounds =================
         def round_body(r, carry):
             head, Vc, ovf = carry
             L = slen_at(r)
             seqv32 = seqs_r[0, pl.ds(r * FOLD, FOLD), :]   # folded chars
-
-            def seqat(j):
-                return jnp.max(jnp.where(colidx == j, seqv32, -8))
 
             colmask = colidx <= L
 
@@ -439,53 +446,84 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                 tb_bad = st[5] | (~st[3])     # bad chase or iteration overrun
 
             # ---- threading ----
-            pathrow0 = jnp.full((1, LW), -1, DT)
+            pathp[:, :] = jnp.full((LWr, 128), -1, DT)
+
+            # Fold the sequence chars into the tgt plane so the threading
+            # loop reads ONE scalar per position instead of two: the loop
+            # is latency-bound on scalar round-trips, not vector width.
+            # comb[j] = (tgt[j] + 2) | (seq[j + 1] + 8) << 15.
+            srows = [seqs_r[0, pl.ds(r * FOLD + k, 1), :]
+                     for k in range(FOLD)]                  # (1, LANES) each
+            pieces = []                                     # (1, 128) pieces
+            if LANES >= 128:
+                for k in range(FOLD):
+                    for h in range(LANES // 128):
+                        pieces.append(srows[k][:, 128 * h:128 * (h + 1)])
+            else:
+                per = 128 // LANES
+                for i in range(LWr):
+                    pieces.append(jnp.concatenate(
+                        srows[i * per:(i + 1) * per], axis=1))
+            seqcol = jnp.concatenate(pieces, axis=0)       # char at col j
+            left1 = pltpu.roll(seqcol, 127, axis=1)
+            nextrow = pltpu.roll(left1, LWr - 1, axis=0)
+            shl = jnp.where(lane128 == 127, nextrow, left1)  # char at j+1
+            tgtp[:, :] = (tgtp[:, :] + 2) | ((shl + 8) << 15)
 
             def thr_body(j, st2):
-                prev, guard, Vc_, head_, pathrow, ovf_ = st2
-                b = seqat(j + 1)
-                t = tread(j)
+                prev, prevpos, guard, Vc_, head_, ovf_ = st2
+                w = tread(j)
+                t = (w & 0x7FFF) - 2
+                b = (w >> 15) - 8
                 tvalid = t >= 0
                 t0 = jnp.maximum(t, 0)
 
                 w0 = bp_read(t0)
-                hit0 = tvalid & ((w0 & 127) == b) & \
-                    (((w0 >> 7) & POSM) - 1 > guard)
+                pos0 = ((w0 >> 7) & POSM) - 1
+                hit0 = tvalid & ((w0 & 127) == b) & (pos0 > guard)
 
                 def ring_rest(_):
                     def rbody(s, st3):
-                        found, vsel, cand, wrapped = st3
+                        found, vsel, psel, cand, wrapped = st3
                         okc = (~found) & (~wrapped)
                         wc = bp_read(cand)
-                        ok = okc & ((wc & 127) == b) & \
-                            (((wc >> 7) & POSM) - 1 > guard)
+                        pc = ((wc >> 7) & POSM) - 1
+                        ok = okc & ((wc & 127) == b) & (pc > guard)
                         vsel = jnp.where(ok, cand, vsel)
+                        psel = jnp.where(ok, pc, psel)
                         found = found | ok
                         cn = pread(ringp, cand)
                         wrapped = wrapped | (cn == t0)
                         cand = jnp.where(okc, cn, cand)
-                        return (found, vsel, cand, wrapped)
+                        return (found, vsel, psel, cand, wrapped)
 
                     c1 = pread(ringp, t0)
-                    found, vsel, _, _ = jax.lax.fori_loop(
+                    found, vsel, psel, _, _ = jax.lax.fori_loop(
                         0, RING_CAP - 1, rbody,
-                        (jnp.bool_(False), jnp.int32(-1), c1, c1 == t0))
-                    return (found, vsel)
+                        (jnp.bool_(False), jnp.int32(-1), jnp.int32(-1),
+                         c1, c1 == t0))
+                    return (found, vsel, psel)
 
-                found_r, vsel_r = jax.lax.cond(
-                    tvalid & (~hit0), ring_rest,
-                    lambda _: (jnp.bool_(False), jnp.int32(-1)), None)
+                if stage == 3:
+                    found_r, vsel_r, psel_r = (jnp.bool_(False),
+                                               jnp.int32(-1), jnp.int32(-1))
+                else:
+                    found_r, vsel_r, psel_r = jax.lax.cond(
+                        tvalid & (~hit0), ring_rest,
+                        lambda _: (jnp.bool_(False), jnp.int32(-1),
+                                   jnp.int32(-1)), None)
                 found = hit0 | found_r
                 vsel = jnp.where(hit0, t0, vsel_r)
+                possel = jnp.where(hit0, pos0, psel_r)
 
                 def mk_new(_):
                     vnew = Vc_
                     o = vnew >= VW
                     vc = jnp.minimum(vnew, VW - 1)
                     prevc = jnp.maximum(prev, 0)
-                    posv = jnp.where(prev < 0, -1,
-                                     ((bp_read(prevc) >> 7) & POSM) - 1)
-                    pwrite(bpp, vc, b | ((posv + 1) << 7))
+                    # new node inherits prev's topo position (carried in
+                    # prevpos — no plane read needed)
+                    pwrite(bpp, vc, b | ((prevpos + 1) << 7))
 
                     @pl.when(tvalid)
                     def _():
@@ -502,42 +540,51 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                     nh = jnp.where(prev < 0, vc, head_)
                     return (vc, nh, Vc_ + 1, o)
 
-                v, nh, nVc, o = jax.lax.cond(
-                    found,
-                    lambda _: (vsel, head_, Vc_, jnp.bool_(False)),
-                    mk_new, None)
-                nguard = jnp.where(
-                    found,
-                    ((bp_read(jnp.maximum(v, 0)) >> 7) & POSM) - 1, guard)
+                if stage == 4:
+                    v, nh, nVc, o = (jnp.maximum(vsel, 0), head_, Vc_,
+                                     jnp.bool_(False))
+                else:
+                    v, nh, nVc, o = jax.lax.cond(
+                        found,
+                        lambda _: (vsel, head_, Vc_, jnp.bool_(False)),
+                        mk_new, None)
+                nguard = jnp.where(found, possel, guard)
 
-                # edge prev -> v (dedup in the 128-lane pred row)
+                # edge prev -> v (dedup in the 128-lane pred row); the
+                # bookkeeping loads run only when an edge is inserted
                 predrow = predp[pl.ds(v, 1), :]
                 has = jnp.max(jnp.where(predrow == prev, 1, 0)) > 0
-                npv = pread(npredp, v)
                 do_add = (prev >= 0) & (~has)
-                o = o | (do_add & (npv >= 128))
-                slotm = lane128 == jnp.minimum(npv, 127)
-                predp[pl.ds(v, 1), :] = jnp.where(
-                    do_add & slotm, prev, predrow)
 
-                @pl.when(do_add)
-                def _():
+                def add_edge(_):
+                    npv = pread(npredp, v)
+                    slotm = lane128 == jnp.minimum(npv, 127)
+                    predp[pl.ds(v, 1), :] = jnp.where(slotm, prev, predrow)
                     pwrite(npredp, v, npv + 1)
                     prevc = jnp.maximum(prev, 0)
                     ns = pread(nsuccp, prevc)
                     pwrite(nsuccp, prevc, ns + 1)
+                    return npv >= 128
 
-                pathrow = jnp.where(lane == j, v, pathrow)
-                return (v, nguard, nVc, nh, pathrow, ovf_ | o)
+                if stage == 4:
+                    pass
+                else:
+                    o = o | jax.lax.cond(do_add, add_edge,
+                                         lambda _: jnp.bool_(False), None)
+
+                lwrite(pathp, j, v)
+                nprevpos = jnp.where(found, possel, prevpos)
+                return (v, nprevpos, nguard, nVc, nh, ovf_ | o)
 
             if stage in (1, 2):
-                paths_r[0, pl.ds(r, 1), :] = pathrow0
+                paths_r[0, pl.ds(r * LWr, LWr), :] = pathp[:, :]
                 return (head, Vc, ovf | tb_bad)
-            prev, guard, Vc2, head2, pathrow, ovf2 = jax.lax.fori_loop(
+            st2 = jax.lax.fori_loop(
                 0, L, thr_body,
-                (jnp.int32(-1), jnp.int32(-1), Vc, head, pathrow0,
+                (jnp.int32(-1), jnp.int32(-1), jnp.int32(-1), Vc, head,
                  ovf | tb_bad))
-            paths_r[0, pl.ds(r, 1), :] = pathrow
+            Vc2, head2, ovf2 = st2[3], st2[4], st2[5]
+            paths_r[0, pl.ds(r * LWr, LWr), :] = pathp[:, :]
             return (head2, Vc2, ovf2)
 
         head, Vc, ovf = jax.lax.fori_loop(
@@ -581,8 +628,8 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                          memory_space=pltpu.SMEM),       # meta
             pl.BlockSpec((1, 3 * VWr, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),       # base/ring/order
-            pl.BlockSpec((1, RW, LW), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),       # paths
+            pl.BlockSpec((1, RW * LWr, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),       # paths (planes)
         ],
         scratch_shapes=[
             pltpu.VMEM(((VW + 1) * FOLD, LANES), DT),    # HH (folded)
@@ -595,6 +642,7 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             pltpu.VMEM((VWr, 128), DT),      # ring
             pltpu.VMEM((VWr, 128), DT),      # nxt
             pltpu.VMEM((LWr, 128), DT),      # targets
+            pltpu.VMEM((LWr, 128), DT),      # path row (column-indexed)
         ],
     )
 
@@ -604,7 +652,7 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, 4), jnp.int32),
             jax.ShapeDtypeStruct((B, 3 * VWr, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, RW, LW), jnp.int32),
+            jax.ShapeDtypeStruct((B, RW * LWr, 128), jnp.int32),
         ],
         interpret=interpret,
     )
@@ -651,8 +699,44 @@ def _compiled_fused(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
 
 @functools.lru_cache(maxsize=16)
-def _paths_slicer(rcap: int, lcap: int):
-    """Device-side slice of the paths buffer to the chunk's actual
+def _compiled_fused_sharded(VW: int, LW: int, RW: int, local: bool,
+                            interpret: bool, B: int, n_dev: int):
+    """Data-parallel fused kernel: global batch B*n_dev sharded over a 1-D
+    device mesh via shard_map — each device runs the grid=B kernel on its
+    shard.  The TPU-native mapping of the reference's OMP-over-blocks loop
+    (src/smooth.cpp:1904; SURVEY §5.8)."""
+    import jax
+    import numpy as np_
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    fn = _fused_fn(VW, LW, RW, local, interpret, B)
+    devs = jax.devices()
+    if len(devs) < n_dev:
+        raise RuntimeError(
+            f"sharded fused engine needs {n_dev} devices, "
+            f"backend has {len(devs)}")
+    mesh = Mesh(np_.array(devs[:n_dev]), ("blocks",))
+    sfn = jax.shard_map(fn, mesh=mesh, in_specs=(P("blocks"),) * 5,
+                        out_specs=(P("blocks"),) * 3, check_vma=False)
+    jfn = jax.jit(sfn)
+    holder = {}
+
+    def call(*args):
+        if "c" not in holder:
+            lowered = jfn.lower(*args)
+            try:
+                holder["c"] = lowered.compile(compiler_options={
+                    "xla_tpu_scoped_vmem_limit_kib": 112640})
+            except Exception:
+                holder["c"] = lowered.compile()
+        return holder["c"](*args)
+
+    return call
+
+
+@functools.lru_cache(maxsize=16)
+def _paths_slicer(RW: int, LWr: int, rcap: int, lcapr: int):
+    """Device-side slice of the paths planes to the chunk's actual
     sequence-count/length tier before D2H: the axon tunnel runs at
     single-digit MB/s under contention, so shipping (RW, LW) int16 when
     (16, 1024) suffices costs seconds per call.  A separate tiny jit so
@@ -661,7 +745,8 @@ def _paths_slicer(rcap: int, lcap: int):
     import jax
 
     def f(paths):
-        return paths[:, :rcap, :lcap]
+        p = paths.reshape(paths.shape[0], RW, LWr, 128)
+        return p[:, :rcap, :lcapr, :]
 
     return jax.jit(f)
 
@@ -701,7 +786,7 @@ class FusedPallasEngine:
 
     def __init__(self, max_seqs: int = 48, max_batch: int = 64,
                  shape: tuple = SHAPE, interpret: bool = False,
-                 validate: bool = True):
+                 validate: bool = True, devices: int | None = None):
         from . import poa_native
         from .poa_fused import FusedHostEngine
         self.VW, self.LW = shape
@@ -709,6 +794,13 @@ class FusedPallasEngine:
         self.max_batch = max_batch
         self.interpret = interpret
         self.validate = validate
+        if devices is None:
+            try:
+                import jax
+                devices = len(jax.devices())
+            except Exception:   # pragma: no cover - backend init failure
+                devices = 1
+        self.n_dev = max(1, devices)
         if poa_native.available():
             self.fallback = poa_native.NativePOAEngine()
         else:                    # pragma: no cover - native always builds
@@ -734,7 +826,7 @@ class FusedPallasEngine:
 
     def warmup(self, locals_=(True,)):
         import jax.numpy as jnp
-        B = self.max_batch
+        B = self.max_batch * self.n_dev
         nseq = np.ones((B, 1, 1), np.int32)
         par = np.tile(np.array([[[1, 4, 6, 2, 26, 1]]], np.int32), (B, 1, 1))
         slen = np.zeros((B, 1, 128), np.int16)
@@ -744,8 +836,13 @@ class FusedPallasEngine:
         seqs = np.full((B, self.RW * FOLD, self.LW // FOLD), -1, np.int8)
         seqs[:, 0, 1] = 0
         for local in locals_:
-            fn = _compiled_fused(self.VW, self.LW, self.RW, local,
-                                 self.interpret, B)
+            if self.n_dev > 1:
+                fn = _compiled_fused_sharded(self.VW, self.LW, self.RW,
+                                             local, self.interpret,
+                                             self.max_batch, self.n_dev)
+            else:
+                fn = _compiled_fused(self.VW, self.LW, self.RW, local,
+                                     self.interpret, B)
             meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
                                   jnp.asarray(slen), jnp.asarray(seed),
                                   jnp.asarray(seqs))
@@ -775,9 +872,10 @@ class FusedPallasEngine:
                 self.fallbacks += 1
                 fb.append(i)
         handles = []
+        cap = self.max_batch * self.n_dev
         for idxs in dev.values():
-            for s in range(0, len(idxs), self.max_batch):
-                handles.append(self._launch(blocks, idxs[s:s + self.max_batch]))
+            for s in range(0, len(idxs), cap):
+                handles.append(self._launch(blocks, idxs[s:s + cap]))
         # fallback blocks compute on host (native C++) while the device runs
         if fb:
             fb_res = self.fallback.poa_block_batch([blocks[i] for i in fb])
@@ -798,6 +896,10 @@ class FusedPallasEngine:
             exp = np.asarray(exp).astype(np.int32).reshape(
                 len(meta), 3, -1)
             paths = np.asarray(paths).astype(np.int32)
+            if paths.ndim == 4:      # sliced (B, rcap, lcapr, 128) planes
+                paths = paths.reshape(paths.shape[0], paths.shape[1], -1)
+            else:                    # full (B, RW*LWr, 128) planes
+                paths = paths.reshape(paths.shape[0], self.RW, self.LW)
             self.device_s += _time.perf_counter() - t0
             for b, i in enumerate(chunk):
                 seqs, weights, params = blocks[i]
@@ -836,7 +938,10 @@ class FusedPallasEngine:
 
     def _launch(self, blocks, chunk):
         import jax.numpy as jnp
-        B = len(chunk) if self.interpret else self.max_batch
+        if self.n_dev > 1:
+            B = self.max_batch * self.n_dev   # shard_map needs full batches
+        else:
+            B = len(chunk) if self.interpret else self.max_batch
         RW, LW, VW = self.RW, self.LW, self.VW
         nseq = np.zeros((B, 1, 1), np.int32)
         par = np.zeros((B, 1, 6), np.int32)
@@ -854,7 +959,11 @@ class FusedPallasEngine:
             seed[b].reshape(-1)[:len(s0)] = s0
         seqs = seqs.reshape(B, RW * FOLD, LW // FOLD)
         local = blocks[chunk[0]][2].local
-        fn = _compiled_fused(VW, LW, RW, local, self.interpret, B)
+        if self.n_dev > 1:
+            fn = _compiled_fused_sharded(VW, LW, RW, local, self.interpret,
+                                         self.max_batch, self.n_dev)
+        else:
+            fn = _compiled_fused(VW, LW, RW, local, self.interpret, B)
         meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
                               jnp.asarray(slen), jnp.asarray(seed),
                               jnp.asarray(seqs))
@@ -864,6 +973,7 @@ class FusedPallasEngine:
         rcap = next((t for t in self.RCAPS if t >= maxr), RW)
         lcap = next((t for t in self.LCAPS if t >= maxl), LW)
         if not self.interpret and (rcap < RW or lcap < LW):
-            paths = _paths_slicer(min(rcap, RW), min(lcap, LW))(paths)
+            paths = _paths_slicer(RW, LW // 128, min(rcap, RW),
+                                  min(lcap, LW) // 128)(paths)
         self.calls += 1
         return chunk, meta, exp, paths
