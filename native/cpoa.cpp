@@ -274,8 +274,13 @@ struct FusedPOA {
     }
 
     void thread(const vector<int32_t>& target, const int8_t* seq, int64_t L) {
+        // Ring lookups see the round-start ring state: splices of this
+        // round's new nodes are deferred to the end of the position loop
+        // (targets are distinct within one alignment, so they commute).
+        // Matches ops/poa_fused.FusedPOA.thread and the Pallas kernel.
         vector<int32_t> path;
         path.reserve(L);
+        vector<std::pair<int32_t, int32_t>> ring_splices;
         int32_t prev = -1;
         int32_t guard = -1;
         for (int64_t j = 0; j < L; ++j) {
@@ -292,7 +297,7 @@ struct FusedPOA {
             }
             if (v < 0) {
                 v = new_node(b);
-                if (t >= 0) { ring[v] = ring[t]; ring[t] = v; }
+                if (t >= 0) ring_splices.emplace_back(t, v);
                 if (prev < 0) {
                     nxt[v] = head; head = v; pos[v] = -1;
                 } else {
@@ -304,6 +309,10 @@ struct FusedPOA {
             if (prev >= 0) add_edge(prev, v);
             path.push_back(v);
             prev = v;
+        }
+        for (auto& tv : ring_splices) {
+            ring[tv.second] = ring[tv.first];
+            ring[tv.first] = tv.second;
         }
         paths.push_back(std::move(path));
     }

@@ -115,7 +115,17 @@ class FusedPOA:
         return host_align(self, seq, p)
 
     def thread(self, aln, seq: np.ndarray) -> None:
-        """Thread `seq` along `aln` into the graph (the fused semantics)."""
+        """Thread `seq` along `aln` into the graph (the fused semantics).
+
+        Ring LOOKUPS see the round-start ring state: splices of this
+        round's new nodes are deferred to the end of the position loop (in
+        position order, so final rings are identical to immediate
+        splicing).  A mismatched position can therefore never reuse a node
+        created earlier in the same round via a shared aligned group — it
+        creates its own node instead (rare; only affects graph
+        minimality).  This keeps the device threading loop free of
+        loop-carried plane stores, which would otherwise serialize the
+        kernel's pipeline (see ops/poa_pallas_fused.py phase A/B)."""
         L = len(seq)
         target: dict[int, int | None] = {}
         for node, sp in aln:
@@ -124,6 +134,7 @@ class FusedPOA:
         path: list[int] = []
         prev = -1          # last threaded node
         guard = -1         # pos of last threaded *existing* node
+        ring_splices: list[tuple[int, int]] = []
         for j in range(L):
             b = int(seq[j])
             t = target.get(j)
@@ -140,9 +151,8 @@ class FusedPOA:
             if v < 0:
                 v = self._new_node(b)
                 if t is not None:
-                    # splice into t's aligned ring
-                    self.ring[v] = self.ring[t]
-                    self.ring[t] = v
+                    # splice into t's aligned ring (deferred; see above)
+                    ring_splices.append((t, v))
                 # insert immediately after prev (head if no prev); the new
                 # node's only predecessor is prev, successors come later and
                 # are placed after it, so the list stays topological
@@ -160,6 +170,12 @@ class FusedPOA:
                 self._add_edge(prev, v)
             path.append(v)
             prev = v
+        # targets are distinct within one alignment (each graph node pairs
+        # with at most one seq position), so these splices commute and each
+        # reads a round-start ring[t]
+        for t, v in ring_splices:
+            self.ring[v] = self.ring[t]
+            self.ring[t] = v
         self.paths.append(path)
 
     def add_sequence(self, seq: np.ndarray, p: POAParams) -> None:

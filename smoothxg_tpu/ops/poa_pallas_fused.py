@@ -83,6 +83,7 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
     from jax.experimental.pallas import tpu as pltpu
 
     DT = jnp.int32
+    assert VW < (1 << 15), "pending-splice packing needs node ids < 2^15"
     VWr = VW // 128
     LWr = LW // 128
     LANES = LW // FOLD
@@ -471,7 +472,7 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             tgtp[:, :] = (tgtp[:, :] + 2) | ((shl + 8) << 15)
 
             def thr_body(j, st2):
-                prev, prevpos, guard, Vc_, head_, ovf_ = st2
+                prev, prevpos, guard, Vc_, head_, ovf_, nspl = st2
                 w = tread(j)
                 t = (w & 0x7FFF) - 2
                 b = (w >> 15) - 8
@@ -525,11 +526,14 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                     # prevpos — no plane read needed)
                     pwrite(bpp, vc, b | ((prevpos + 1) << 7))
 
+                    # ring[vc] points at the round-start ring[t0] now (no
+                    # scan reaches vc yet); the ring[t0] -> vc half of the
+                    # splice is deferred to the end of the position loop so
+                    # lookups see round-start rings (poa_fused.thread)
                     @pl.when(tvalid)
                     def _():
                         rt = pread(ringp, t0)
                         pwrite(ringp, vc, rt)
-                        pwrite(ringp, t0, vc)
 
                     nxt_t = jnp.where(prev < 0, head_, pread(nxtp, prevc))
                     pwrite(nxtp, vc, nxt_t)
@@ -549,6 +553,18 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                         lambda _: (vsel, head_, Vc_, jnp.bool_(False)),
                         mk_new, None)
                 nguard = jnp.where(found, possel, guard)
+
+                # record the deferred ring[t] -> v splice; index nspl <= j
+                # of the tgt plane is already consumed, so it doubles as
+                # the pending-splice buffer (packed t | v << 15)
+                nnspl = nspl
+                if stage != 4:
+                    newspl = (~found) & tvalid
+
+                    @pl.when(newspl)
+                    def _():
+                        twrite(nspl, t0 | (v << 15))
+                    nnspl = jnp.where(newspl, nspl + 1, nspl)
 
                 # edge prev -> v (dedup in the 128-lane pred row); the
                 # bookkeeping loads run only when an edge is inserted
@@ -574,7 +590,7 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
                 lwrite(pathp, j, v)
                 nprevpos = jnp.where(found, possel, prevpos)
-                return (v, nprevpos, nguard, nVc, nh, ovf_ | o)
+                return (v, nprevpos, nguard, nVc, nh, ovf_ | o, nnspl)
 
             if stage in (1, 2):
                 paths_r[0, pl.ds(r * LWr, LWr), :] = pathp[:, :]
@@ -582,8 +598,18 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             st2 = jax.lax.fori_loop(
                 0, L, thr_body,
                 (jnp.int32(-1), jnp.int32(-1), jnp.int32(-1), Vc, head,
-                 ovf | tb_bad))
-            Vc2, head2, ovf2 = st2[3], st2[4], st2[5]
+                 ovf | tb_bad, jnp.int32(0)))
+            Vc2, head2, ovf2, nspl2 = st2[3], st2[4], st2[5], st2[6]
+
+            # apply the deferred ring splices (targets are distinct within
+            # a round, so order is immaterial; buffer order == position
+            # order, matching the oracle)
+            def spl_body(k, _):
+                w = tread(k)
+                pwrite(ringp, w & 0x7FFF, w >> 15)
+                return 0
+
+            jax.lax.fori_loop(0, nspl2, spl_body, 0)
             paths_r[0, pl.ds(r * LWr, LWr), :] = pathp[:, :]
             return (head2, Vc2, ovf2)
 
