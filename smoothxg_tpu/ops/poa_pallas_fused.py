@@ -11,36 +11,49 @@ specified by ops/poa_fused.py (numpy oracle; native/cpoa.cpp is the C++
 twin).  One pallas_call processes a whole batch of blocks (grid=B) and
 returns final graphs: bit-for-bit identical to the oracle.
 
-Performance structure (v2 — measured on the v5e tunnel, tools/profile_fused):
-  * DP rows are FOLDED to (8, LW/8): a (1, 2048) int32 row occupies 16
-    (8,128) vregs with 1/8 sublane utilization; folding packs the same row
-    into 2 fully-used vregs, ~8x less VPU issue per fill op.  Column j
-    lives at (sublane j//256, lane j%256); the +1 column shift crosses the
-    fold with a lane-roll + sublane-roll blend, and the F-channel prefix
-    max is a lane scan + cross-sublane exclusive prefix.
+Performance structure (v3 — shaped by the slope-based probes in
+tools/probe_loop2.py / probe_smem2.py):
+  * The v5e scalar-cost hierarchy: SMEM scalar read 3.6ns, dynamic-sublane
+    slab read 4.7ns, masked VMEM row write 2.6ns, empty loop iteration
+    4.4ns — but a masked VMEM LANE READ (row load + lane mask + max-reduce
+    into an SREG) costs ~235ns in a dependent chain (~45ns when 8
+    independent ones are hoisted together).  v2 did 3-6 such reads per DP
+    row / traceback step / threading position, which made the kernel
+    scalar-extraction-bound (~1.65us/row).
+  * v3 therefore keeps ALL per-node scalar metadata in SMEM scratch —
+    base, topo position, ring, next-in-topo-list, pred/succ counts, and
+    the first 8 predecessor ids (preds8) — so the fill's topo walk, the
+    traceback's provenance chase, and the threading loop do pure-scalar
+    SMEM work.  Predecessor slots >= 8 overflow into a VMEM plane read by
+    a (rare) masked lane read behind a lax.cond.
+  * DP rows stay FOLDED to (FOLD, LW/FOLD) int32 with two packed int16
+    scores per word: column j lives at (sublane j//LANES, lane j%LANES);
+    the +1 column shift crosses the fold with a lane-roll + sublane-roll
+    blend, and the F-channel prefix max is a lane scan + cross-sublane
+    exclusive prefix.
+  * The local-mode best-cell search is carried as per-column VECTORS
+    (best value / fill position / node id) updated in the fill and reduced
+    ONCE per round (4 reduces) instead of a per-row max-reduce.
+  * Sequence characters are extracted 8 at a time with a single packed
+    sum-reduce ((char+1) * 8^k over an 8-column window) for the seed loop
+    and the threading loop.
   * The fill records PROVENANCE CODES per cell (one int32 plane: argmax
     pred slots for M/E1/E2, open-vs-extend bits, hq/H channel selectors,
-    F cummax-renewal bits).  The traceback is then a pure code chase —
-    no score re-derivation, no per-pred equality scans — with move choices
-    bit-identical to ops/poa_host.align's value-matching order (first
-    matching pred slot == first argmax slot, open tried before extend,
-    nearest F origin via the renewal bits).
-  * Node bookkeeping planes (node v -> row v//128, lane v%128): base and
-    topo position share one word (base | (pos+1)<<7), so the threading
-    guard check reads ONE plane word per ring candidate.
+    F cummax-renewal bits).  The traceback is a pure code chase — its one
+    remaining dependent masked read per step (the code word) is the
+    kernel's scalar floor.
 
 Per grid step (= one block): seed the graph from sequence 0 as a chain;
 for each later sequence walk the topo linked list filling the DP, locate
-the end cell, chase the code plane writing match targets into a
-column-indexed tgt plane, then thread the sequence (guarded aligned-ring
-reuse or new-node creation with O(1) linked-list insertion — see
-poa_fused.py for why this keeps the list topological).  Export base/ring
-planes, the final topo order, and per-sequence node paths; everything else
-(edges, weights, consensus, MSA) is reconstructed on host from the paths
-(ops/poa_fused.rehydrate).
+the end cell, chase the code plane writing match targets into an SMEM
+target array, then thread the sequence (guarded aligned-ring reuse or
+new-node creation with O(1) linked-list insertion — see poa_fused.py for
+why this keeps the list topological).  Export base/ring/order planes and
+per-sequence node paths; everything else (edges, weights, consensus, MSA)
+is reconstructed on host from the paths (ops/poa_fused.rehydrate).
 
-Mosaic constraints (no dynamic lane indexing, no scalar stores, masked
-row reductions/blends) are the same as ops/poa_pallas.py.
+Mosaic constraints (no dynamic lane indexing, no scalar stores to VMEM,
+masked row blends for writes) are the same as ops/poa_pallas.py.
 
 Score range: packed int16 halves with floor NEG16 = -16000.  Provenance
 bits become meaningless for cells whose E chains hit the clamp floor, but
@@ -89,12 +102,11 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
     LANES = LW // FOLD
     OFF = 16384
     TB_CAP = 2 * (VW + LW + 8)   # traceback iteration safety cap
-    POSM = 0x1FFF                # 13-bit pos+1 field in the base|pos plane
 
-    def kernel(nseq_s, par_s, slen_r, seed_r, seqs_r,
+    def kernel(nseq_s, par_s, slen_r, seqs_r,
                meta_r, exp_r, paths_r,
-               HH, EE, CC, predp, npredp, nsuccp, bpp, ringp, nxtp,
-               tgtp, pathp):
+               HH, EE, CC, predp,
+               baseA, posA, ringA, nxtA, npredA, nsuccA, preds8, tgtA):
         lane128 = jax.lax.broadcasted_iota(DT, (1, 128), 1)
         subf = jax.lax.broadcasted_iota(DT, (FOLD, LANES), 0)
         lanef = jax.lax.broadcasted_iota(DT, (FOLD, LANES), 1)
@@ -106,9 +118,6 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
         def lo16(v):
             return (v & 0xFFFF) - OFF
-
-        def hi16(v):
-            return ((v >> 16) & 0xFFFF) - OFF
 
         def b1(x):
             return jnp.where(x, 1, 0)
@@ -141,35 +150,6 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                 k *= 2
             return jnp.maximum(x, ex)
 
-        # ---- plane access helpers (node-indexed (VWr,128) planes) ----
-        def pread(ref, v):
-            row = ref[pl.ds(v // 128, 1), :]
-            return jnp.max(jnp.where(lane128 == (v % 128), row, NEGBIG))
-
-        def pwrite(ref, v, val):
-            r = v // 128
-            m = lane128 == (v % 128)
-            row = ref[pl.ds(r, 1), :]
-            ref[pl.ds(r, 1), :] = jnp.where(m, val, row)
-
-        def bp_read(v):
-            """base|pos plane word (>= 0) of node v."""
-            row = bpp[pl.ds(v // 128, 1), :]
-            return jnp.max(jnp.where(lane128 == (v % 128), row, -1))
-
-        def tread(j):
-            row = tgtp[pl.ds(j // 128, 1), :]
-            return jnp.max(jnp.where(lane128 == (j % 128), row, NEGBIG))
-
-        def lwrite(ref, j, val):
-            r = j // 128
-            m = lane128 == (j % 128)
-            row = ref[pl.ds(r, 1), :]
-            ref[pl.ds(r, 1), :] = jnp.where(m, val, row)
-
-        def twrite(j, val):
-            lwrite(tgtp, j, val)
-
         lanefr = jax.lax.broadcasted_iota(DT, (1, LANES), 1)
 
         # folded cell reads at dynamic (row i, col j): only the single
@@ -181,6 +161,12 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
         def ccell(i, j):
             row = CC[pl.ds(FOLD * i + j // LANES, 1), :]
             return jnp.max(jnp.where(lanefr == (j % LANES), row, -1))
+
+        def predp_slot(v, s):
+            """Masked read of pred slot s >= 8 from the VMEM overflow
+            plane (rare; slots < 8 live in SMEM preds8)."""
+            row = predp[pl.ds(v, 1), :]
+            return jnp.max(jnp.where(lane128 == s, row, NEGBIG))
 
         R = nseq_s[0, 0, 0]
         m = par_s[0, 0, 0]
@@ -198,16 +184,26 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
         ej = e * colidx
         cj = c * colidx
 
+        def chars8(r_, jbase):
+            """Chars of positions jbase..jbase+7 of sequence r_, packed 4
+            bits each as (char+1) — 0 = pad sentinel.  ONE sum-reduce
+            instead of 8 masked lane reads (sequence position j sits at
+            folded column j+1).  Chars are COMPACT CODES 0..14 (the engine
+            maps the block's distinct raw bytes to codes; equality is all
+            POA needs).  The k=7 field overflows into the int32 sign bit —
+            harmless: disjoint bit fields can't carry, and extraction masks
+            after the arithmetic shift."""
+            slab = seqs_r[0, pl.ds(r_ * FOLD, FOLD), :]
+            k = colidx - (jbase + 1)
+            win = (k >= 0) & (k < 8)
+            kc = jnp.where(win, k, 0)
+            w = jnp.where((kc & 1) > 0, 16, 1)
+            w = w * jnp.where((kc & 2) > 0, 256, 1)
+            w = w * jnp.where((kc & 4) > 0, 65536, 1)
+            return jnp.sum(jnp.where(win, (slab + 1) * w, 0))
+
         # ================= seed from sequence 0 =================
         L0 = slen_at(0)
-        iov = (jax.lax.broadcasted_iota(DT, (VWr, 128), 0) * 128
-               + jax.lax.broadcasted_iota(DT, (VWr, 128), 1))
-        bpp[:, :] = jnp.where(iov < L0,
-                              (seed_r[0] & 127) | ((iov + 1) << 7), 0)
-        nxtp[:, :] = jnp.where(iov < L0 - 1, iov + 1, -1)
-        ringp[:, :] = iov
-        npredp[:, :] = jnp.where((iov >= 1) & (iov < L0), 1, 0)
-        nsuccp[:, :] = jnp.where(iov < L0 - 1, 1, 0)
         iovp = jax.lax.broadcasted_iota(DT, (VW, 128), 0)
         lanesp = jax.lax.broadcasted_iota(DT, (VW, 128), 1)
         predp[:, :] = jnp.where((lanesp == 0) & (iovp >= 1) & (iovp < L0),
@@ -215,6 +211,26 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
         iol = (jax.lax.broadcasted_iota(DT, (LWr, 128), 0) * 128
                + jax.lax.broadcasted_iota(DT, (LWr, 128), 1))
         paths_r[0, 0:LWr, :] = jnp.where(iol < L0, iol, -1)
+
+        def seed_chunk(ci, _):
+            jb = ci * 8
+            packed = chars8(0, jb)
+            for k in range(8):
+                i = jb + k
+                bch = ((packed >> (4 * k)) & 15) - 1
+
+                @pl.when(i < L0)
+                def _():
+                    baseA[i] = bch
+                    posA[i] = i
+                    ringA[i] = i
+                    nxtA[i] = jnp.where(i < L0 - 1, i + 1, -1)
+                    npredA[i] = jnp.where(i >= 1, 1, 0)
+                    nsuccA[i] = jnp.where(i < L0 - 1, 1, 0)
+                    preds8[8 * i] = i - 1
+            return 0
+
+        jax.lax.fori_loop(0, (L0 + 7) // 8, seed_chunk, 0)
 
         # ================= per-sequence rounds =================
         def round_body(r, carry):
@@ -243,27 +259,23 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
             # ---- fill (walk the topo list; DP row = node id + 1) ----
             def fill_body(i, st):
-                v, best_val, best_node = st
-                r8 = v // 128
-                mv = lane128 == (v % 128)
-                brow = bpp[pl.ds(r8, 1), :]
-                w = jnp.max(jnp.where(mv, brow, -1))
-                base_v = w & 127
-                # refresh topo position (threading guard reads it)
-                bpp[pl.ds(r8, 1), :] = jnp.where(
-                    mv, base_v | ((i + 1) << 7), brow)
-                np_ = pread(npredp, v)
-                predrow = predp[pl.ds(v, 1), :]
+                v, bvec, bfill, bnode = st
+                base_v = baseA[v]
+                posA[v] = i            # refresh topo position (guard reads)
+                np_ = npredA[v]
 
                 def ploop(p, acc):
                     hmax, e1mx, e2mx, hs, e1s, e2s = acc
-                    slot = jnp.max(jnp.where(lane128 == p, predrow, NEGBIG))
-                    pid = jnp.where(p < np_, slot, -1)
+                    pid8 = preds8[8 * v + jnp.minimum(p, 7)]
+                    pid = jax.lax.cond(p >= 8,
+                                       lambda _: predp_slot(v, p),
+                                       lambda _: pid8, None)
+                    pid = jnp.where(p < np_, pid, -1)
                     hh = HH[pl.ds(FOLD * (pid + 1), FOLD), :]
                     ee = EE[pl.ds(FOLD * (pid + 1), FOLD), :]
                     h = lo16(hh)
                     x1 = lo16(ee)
-                    x2 = hi16(ee)
+                    x2 = ((ee >> 16) & 0xFFFF) - OFF
                     uh = h > hmax
                     u1 = x1 > e1mx
                     u2 = x2 > e2mx
@@ -314,29 +326,37 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                         | (hqz << 30))
                 CC[pl.ds(FOLD * (v + 1), FOLD), :] = code
                 if local:
-                    rmax = jnp.max(jnp.where(colmask, Hrow, NEG16))
-                    better = rmax > best_val
-                    best_val = jnp.where(better, rmax, best_val)
-                    best_node = jnp.where(better, v, best_node)
-                vn = pread(nxtp, v)
-                return (vn, best_val, best_node)
+                    Hm = jnp.where(colmask, Hrow, NEG16)
+                    upd = Hm > bvec
+                    bvec = jnp.where(upd, Hm, bvec)
+                    bfill = jnp.where(upd, i, bfill)
+                    bnode = jnp.where(upd, v, bnode)
+                vn = jnp.maximum(nxtA[v], 0)   # clamp: ovf blocks only
+                return (vn, bvec, bfill, bnode)
 
-            _, best_val, best_node = jax.lax.fori_loop(
-                0, Vc, fill_body, (head, jnp.int32(NEG16), jnp.int32(-1)))
+            _, bvec, bfill, bnode = jax.lax.fori_loop(
+                0, Vc, fill_body, (head, NEGROW, ZROW - 1, ZROW - 1))
 
             # ---- end cell ----
             if local:
-                bi = jnp.maximum(best_node, 0) + 1
-                rowH = lo16(HH[pl.ds(FOLD * bi, FOLD), :])
-                eqm = (rowH == best_val) & colmask
-                bj = jnp.min(jnp.where(eqm, colidx, LW))
-                bv = best_val
+                # per-column vectors -> oracle's (first fill row achieving
+                # the global max, min column in that row) in 4 reduces
+                bv = jnp.max(bvec)
+                eqm = bvec == bv
+                rstar = jnp.min(jnp.where(eqm, bfill, VW + LW))
+                m2 = eqm & (bfill == rstar)
+                bj = jnp.min(jnp.where(m2, colidx, LW))
+                bn = jnp.max(jnp.where(m2 & (colidx == bj), bnode, -1))
+                bi = jnp.maximum(bn, 0) + 1
             else:
                 def sink_body(i, st):
                     v, bv_, bn_ = st
-                    hv = lo16(cellf(HH, v + 1, L))
-                    better = (pread(nsuccp, v) == 0) & (hv > bv_)
-                    vn = pread(nxtp, v)
+                    hv = jax.lax.cond(
+                        nsuccA[v] == 0,
+                        lambda _: lo16(cellf(HH, v + 1, L)),
+                        lambda _: jnp.int32(NEGBIG), None)
+                    better = hv > bv_
+                    vn = jnp.maximum(nxtA[v], 0)
                     return (vn, jnp.where(better, hv, bv_),
                             jnp.where(better, v, bn_))
                 _, bv, bn = jax.lax.fori_loop(
@@ -345,7 +365,11 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                 bj = L
 
             # ---- clear targets ----
-            tgtp[:, :] = jnp.full((LWr, 128), -2, DT)
+            def tclr(j2, _):
+                tgtA[j2] = -1
+                return 0
+
+            jax.lax.fori_loop(0, jnp.minimum(L + 1, LW), tclr, 0)
 
             # ---- traceback: chase the provenance codes ----
             # chan: 0=H, 1=Hq (post-F, no F allowed), 2=E1, 3=E2
@@ -375,12 +399,14 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                     stop2 = jnp.bool_(False)
                     hq_go = hq_route
                 hqsel_c = (cw >> 23) & 3
-                np_ = pread(npredp, nid)
-                predrow = predp[pl.ds(nid, 1), :]
+                np_ = npredA[nid]
 
                 def slotpid(s):
-                    sv = jnp.max(jnp.where(lane128 == s, predrow, NEGBIG))
-                    return jnp.where(s < np_, sv, -1)
+                    pid8 = preds8[8 * nid + jnp.minimum(s, 7)]
+                    pid = jax.lax.cond(s >= 8,
+                                       lambda _: predp_slot(nid, s),
+                                       lambda _: pid8, None)
+                    return jnp.where(s < np_, pid, -1)
 
                 m_take = hq_go & (hqsel_c == 0)
                 e1_in = (hq_go & (hqsel_c == 1)) | (chan == 2)
@@ -392,7 +418,7 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
                 @pl.when(m_take)
                 def _():
-                    twrite(jm1, nid)
+                    tgtA[jm1] = nid
 
                 e1pid = slotpid((cw >> 7) & 127)
                 e1open_c = ((cw >> 14) & 1) == 1
@@ -446,59 +472,34 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                      jnp.bool_(False)))
                 tb_bad = st[5] | (~st[3])     # bad chase or iteration overrun
 
+            if stage in (1, 2):
+                return (head, Vc, ovf | tb_bad)
+
             # ---- threading ----
-            pathp[:, :] = jnp.full((LWr, 128), -1, DT)
-
-            # Fold the sequence chars into the tgt plane so the threading
-            # loop reads ONE scalar per position instead of two: the loop
-            # is latency-bound on scalar round-trips, not vector width.
-            # comb[j] = (tgt[j] + 2) | (seq[j + 1] + 8) << 15.
-            srows = [seqs_r[0, pl.ds(r * FOLD + k, 1), :]
-                     for k in range(FOLD)]                  # (1, LANES) each
-            pieces = []                                     # (1, 128) pieces
-            if LANES >= 128:
-                for k in range(FOLD):
-                    for h in range(LANES // 128):
-                        pieces.append(srows[k][:, 128 * h:128 * (h + 1)])
-            else:
-                per = 128 // LANES
-                for i in range(LWr):
-                    pieces.append(jnp.concatenate(
-                        srows[i * per:(i + 1) * per], axis=1))
-            seqcol = jnp.concatenate(pieces, axis=0)       # char at col j
-            left1 = pltpu.roll(seqcol, 127, axis=1)
-            nextrow = pltpu.roll(left1, LWr - 1, axis=0)
-            shl = jnp.where(lane128 == 127, nextrow, left1)  # char at j+1
-            tgtp[:, :] = (tgtp[:, :] + 2) | ((shl + 8) << 15)
-
-            def thr_body(j, st2):
+            def pos_body(j, bch, st2, act):
                 prev, prevpos, guard, Vc_, head_, ovf_, nspl = st2
-                w = tread(j)
-                t = (w & 0x7FFF) - 2
-                b = (w >> 15) - 8
-                tvalid = t >= 0
+                t = tgtA[j]
+                tvalid = act & (t >= 0)
                 t0 = jnp.maximum(t, 0)
-
-                w0 = bp_read(t0)
-                pos0 = ((w0 >> 7) & POSM) - 1
-                hit0 = tvalid & ((w0 & 127) == b) & (pos0 > guard)
+                b0 = baseA[t0]
+                p0 = posA[t0]
+                hit0 = tvalid & (b0 == bch) & (p0 > guard)
 
                 def ring_rest(_):
                     def rbody(s, st3):
                         found, vsel, psel, cand, wrapped = st3
                         okc = (~found) & (~wrapped)
-                        wc = bp_read(cand)
-                        pc = ((wc >> 7) & POSM) - 1
-                        ok = okc & ((wc & 127) == b) & (pc > guard)
+                        pc = posA[cand]
+                        ok = okc & (baseA[cand] == bch) & (pc > guard)
                         vsel = jnp.where(ok, cand, vsel)
                         psel = jnp.where(ok, pc, psel)
                         found = found | ok
-                        cn = pread(ringp, cand)
+                        cn = ringA[cand]
                         wrapped = wrapped | (cn == t0)
                         cand = jnp.where(okc, cn, cand)
                         return (found, vsel, psel, cand, wrapped)
 
-                    c1 = pread(ringp, t0)
+                    c1 = ringA[t0]
                     found, vsel, psel, _, _ = jax.lax.fori_loop(
                         0, RING_CAP - 1, rbody,
                         (jnp.bool_(False), jnp.int32(-1), jnp.int32(-1),
@@ -515,88 +516,113 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                                    jnp.int32(-1)), None)
                 found = hit0 | found_r
                 vsel = jnp.where(hit0, t0, vsel_r)
-                possel = jnp.where(hit0, pos0, psel_r)
+                possel = jnp.where(hit0, p0, psel_r)
 
                 def mk_new(_):
                     vnew = Vc_
                     o = vnew >= VW
                     vc = jnp.minimum(vnew, VW - 1)
                     prevc = jnp.maximum(prev, 0)
+                    baseA[vc] = bch
                     # new node inherits prev's topo position (carried in
-                    # prevpos — no plane read needed)
-                    pwrite(bpp, vc, b | ((prevpos + 1) << 7))
-
-                    # ring[vc] points at the round-start ring[t0] now (no
-                    # scan reaches vc yet); the ring[t0] -> vc half of the
+                    # prevpos — no extra read)
+                    posA[vc] = prevpos
+                    npredA[vc] = 0
+                    nsuccA[vc] = 0
+                    # ring[vc] points at the round-start ring[t0] (no scan
+                    # reaches vc yet); the ring[t0] -> vc half of the
                     # splice is deferred to the end of the position loop so
                     # lookups see round-start rings (poa_fused.thread)
-                    @pl.when(tvalid)
-                    def _():
-                        rt = pread(ringp, t0)
-                        pwrite(ringp, vc, rt)
-
-                    nxt_t = jnp.where(prev < 0, head_, pread(nxtp, prevc))
-                    pwrite(nxtp, vc, nxt_t)
+                    ringA[vc] = jnp.where(tvalid, ringA[t0], vc)
+                    nxtA[vc] = jnp.where(prev < 0, head_, nxtA[prevc])
 
                     @pl.when(prev >= 0)
                     def _():
-                        pwrite(nxtp, prevc, vc)
+                        nxtA[prevc] = vc
                     nh = jnp.where(prev < 0, vc, head_)
                     return (vc, nh, Vc_ + 1, o)
 
+                create = act & (~found)
                 if stage == 4:
-                    v, nh, nVc, o = (jnp.maximum(vsel, 0), head_, Vc_,
-                                     jnp.bool_(False))
+                    v = jnp.maximum(vsel, 0)
+                    nh, nVc, o = head_, Vc_, jnp.bool_(False)
+                    create = jnp.bool_(False)
                 else:
                     v, nh, nVc, o = jax.lax.cond(
-                        found,
-                        lambda _: (vsel, head_, Vc_, jnp.bool_(False)),
-                        mk_new, None)
-                nguard = jnp.where(found, possel, guard)
+                        create, mk_new,
+                        lambda _: (jnp.where(found, vsel, prev), head_, Vc_,
+                                   jnp.bool_(False)), None)
+                vc0 = jnp.maximum(v, 0)
+                nguard = jnp.where(act & found, possel, guard)
 
                 # record the deferred ring[t] -> v splice; index nspl <= j
-                # of the tgt plane is already consumed, so it doubles as
-                # the pending-splice buffer (packed t | v << 15)
+                # of the target array is already consumed, so it doubles
+                # as the pending-splice buffer (packed t | v << 15)
                 nnspl = nspl
                 if stage != 4:
-                    newspl = (~found) & tvalid
+                    newspl = create & tvalid
 
                     @pl.when(newspl)
                     def _():
-                        twrite(nspl, t0 | (v << 15))
+                        tgtA[nspl] = t0 | (v << 15)
                     nnspl = jnp.where(newspl, nspl + 1, nspl)
 
-                # edge prev -> v (dedup in the 128-lane pred row); the
-                # bookkeeping loads run only when an edge is inserted
-                predrow = predp[pl.ds(v, 1), :]
-                has = jnp.max(jnp.where(predrow == prev, 1, 0)) > 0
-                do_add = (prev >= 0) & (~has)
+                # edge prev -> v (dedup over pred slots; SMEM scan for the
+                # common <= 8 case, masked row reduce above it)
+                np_v = npredA[vc0]
+
+                def has_smem(_):
+                    def hb(p, f):
+                        return f | (preds8[8 * vc0 + p] == prev)
+                    return jax.lax.fori_loop(0, jnp.minimum(np_v, 8), hb,
+                                             jnp.bool_(False))
+
+                def has_vec(_):
+                    row = predp[pl.ds(vc0, 1), :]
+                    return jnp.max(jnp.where(row == prev, 1, 0)) > 0
+
+                has = jax.lax.cond(np_v > 8, has_vec, has_smem, None)
+                do_add = act & (prev >= 0) & (~has)
 
                 def add_edge(_):
-                    npv = pread(npredp, v)
-                    slotm = lane128 == jnp.minimum(npv, 127)
-                    predp[pl.ds(v, 1), :] = jnp.where(slotm, prev, predrow)
-                    pwrite(npredp, v, npv + 1)
+                    npv = np_v
                     prevc = jnp.maximum(prev, 0)
-                    ns = pread(nsuccp, prevc)
-                    pwrite(nsuccp, prevc, ns + 1)
+
+                    @pl.when(npv < 8)
+                    def _():
+                        preds8[8 * vc0 + jnp.minimum(npv, 7)] = prev
+                    slotm = lane128 == jnp.minimum(npv, 127)
+                    row = predp[pl.ds(vc0, 1), :]
+                    predp[pl.ds(vc0, 1), :] = jnp.where(slotm, prev, row)
+                    npredA[vc0] = npv + 1
+                    nsuccA[prevc] = nsuccA[prevc] + 1
                     return npv >= 128
 
-                if stage == 4:
-                    pass
-                else:
+                if stage != 4:
                     o = o | jax.lax.cond(do_add, add_edge,
                                          lambda _: jnp.bool_(False), None)
 
-                lwrite(pathp, j, v)
-                nprevpos = jnp.where(found, possel, prevpos)
-                return (v, nprevpos, nguard, nVc, nh, ovf_ | o, nnspl)
+                @pl.when(act)
+                def _():
+                    rr = r * LWr + j // 128
+                    mm = lane128 == (j % 128)
+                    cur = paths_r[0, pl.ds(rr, 1), :]
+                    paths_r[0, pl.ds(rr, 1), :] = jnp.where(mm, v, cur)
 
-            if stage in (1, 2):
-                paths_r[0, pl.ds(r * LWr, LWr), :] = pathp[:, :]
-                return (head, Vc, ovf | tb_bad)
+                nprev = jnp.where(act, v, prev)
+                nprevpos = jnp.where(act & found, possel, prevpos)
+                return (nprev, nprevpos, nguard, nVc, nh, ovf_ | o, nnspl)
+
+            def chunk_body(ci, st2):
+                jb = ci * 8
+                packed = chars8(r, jb)
+                for k in range(8):
+                    st2 = pos_body(jb + k, ((packed >> (4 * k)) & 15) - 1,
+                                   st2, (jb + k) < L)
+                return st2
+
             st2 = jax.lax.fori_loop(
-                0, L, thr_body,
+                0, (L + 7) // 8, chunk_body,
                 (jnp.int32(-1), jnp.int32(-1), jnp.int32(-1), Vc, head,
                  ovf | tb_bad, jnp.int32(0)))
             Vc2, head2, ovf2, nspl2 = st2[3], st2[4], st2[5], st2[6]
@@ -604,30 +630,39 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             # apply the deferred ring splices (targets are distinct within
             # a round, so order is immaterial; buffer order == position
             # order, matching the oracle)
-            def spl_body(k, _):
-                w = tread(k)
-                pwrite(ringp, w & 0x7FFF, w >> 15)
+            def spl_body(k2, _):
+                w = tgtA[k2]
+                ringA[w & 0x7FFF] = w >> 15
                 return 0
 
             jax.lax.fori_loop(0, nspl2, spl_body, 0)
-            paths_r[0, pl.ds(r * LWr, LWr), :] = pathp[:, :]
             return (head2, Vc2, ovf2)
 
         head, Vc, ovf = jax.lax.fori_loop(
             1, R, round_body, (jnp.int32(0), L0, jnp.bool_(False)))
 
         # ================= export =================
-        exp_r[0, 0:VWr, :] = bpp[:, :] & 127
-        exp_r[0, VWr:2 * VWr, :] = ringp[:, :]
+        Vcc = jnp.minimum(Vc, VW)
 
-        def ord_body(i, v):
-            row = 2 * VWr + i // 128
-            cur = exp_r[0, pl.ds(row, 1), :]
-            exp_r[0, pl.ds(row, 1), :] = jnp.where(
-                lane128 == (i % 128), v, cur)
-            return pread(nxtp, v)
+        def expb(i2, _):
+            rr = i2 // 128
+            mm = lane128 == (i2 % 128)
+            cur0 = exp_r[0, pl.ds(rr, 1), :]
+            exp_r[0, pl.ds(rr, 1), :] = jnp.where(mm, baseA[i2], cur0)
+            cur1 = exp_r[0, pl.ds(VWr + rr, 1), :]
+            exp_r[0, pl.ds(VWr + rr, 1), :] = jnp.where(mm, ringA[i2], cur1)
+            return 0
 
-        jax.lax.fori_loop(0, Vc, ord_body, head)
+        jax.lax.fori_loop(0, Vcc, expb, 0)
+
+        def ord_body(i2, v):
+            rr = 2 * VWr + i2 // 128
+            cur = exp_r[0, pl.ds(rr, 1), :]
+            exp_r[0, pl.ds(rr, 1), :] = jnp.where(
+                lane128 == (i2 % 128), v, cur)
+            return jnp.maximum(nxtA[v], 0)
+
+        jax.lax.fori_loop(0, Vcc, ord_body, head)
 
         meta_r[0, 0, 0] = Vc
         meta_r[0, 0, 1] = jnp.where(ovf, 1, 0)
@@ -644,8 +679,6 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                          memory_space=pltpu.SMEM),       # params
             pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),       # seq lengths
-            pl.BlockSpec((1, VWr, 128), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),       # seed (node-aligned)
             pl.BlockSpec((1, RW * FOLD, LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),       # sequences (folded)
         ],
@@ -661,14 +694,15 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             pltpu.VMEM(((VW + 1) * FOLD, LANES), DT),    # HH (folded)
             pltpu.VMEM(((VW + 1) * FOLD, LANES), DT),    # EE (folded)
             pltpu.VMEM(((VW + 1) * FOLD, LANES), DT),    # CC codes (folded)
-            pltpu.VMEM((VW, 128), DT),       # pred slots
-            pltpu.VMEM((VWr, 128), DT),      # npred
-            pltpu.VMEM((VWr, 128), DT),      # nsucc
-            pltpu.VMEM((VWr, 128), DT),      # base|pos
-            pltpu.VMEM((VWr, 128), DT),      # ring
-            pltpu.VMEM((VWr, 128), DT),      # nxt
-            pltpu.VMEM((LWr, 128), DT),      # targets
-            pltpu.VMEM((LWr, 128), DT),      # path row (column-indexed)
+            pltpu.VMEM((VW, 128), DT),       # pred slots >= 8 + dedup rows
+            pltpu.SMEM((VW,), DT),           # base
+            pltpu.SMEM((VW,), DT),           # topo pos
+            pltpu.SMEM((VW,), DT),           # ring
+            pltpu.SMEM((VW,), DT),           # nxt (topo list)
+            pltpu.SMEM((VW,), DT),           # npred
+            pltpu.SMEM((VW,), DT),           # nsucc
+            pltpu.SMEM((8 * VW,), DT),       # pred slots 0..7
+            pltpu.SMEM((LW,), DT),           # targets / pending splices
         ],
     )
 
@@ -691,11 +725,10 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
     pallas_fn = _pallas_core(VW, LW, RW, local, interpret, B, stage)
 
-    def fn(nseq, par, slen, seed, seqs):
+    def fn(nseq, par, slen, seqs):
         # sequences ship int8 over the tunnel; upcast on device.  Outputs
         # downcast to int16 on device before D2H (node ids < VW < 32768).
         meta, exp, paths = pallas_fn(nseq, par, slen.astype(jnp.int32),
-                                     seed.astype(jnp.int32),
                                      seqs.astype(jnp.int32))
         return meta[:, 0, :], exp.astype(jnp.int16), paths.astype(jnp.int16)
 
@@ -742,7 +775,7 @@ def _compiled_fused_sharded(VW: int, LW: int, RW: int, local: bool,
             f"sharded fused engine needs {n_dev} devices, "
             f"backend has {len(devs)}")
     mesh = Mesh(np_.array(devs[:n_dev]), ("blocks",))
-    sfn = jax.shard_map(fn, mesh=mesh, in_specs=(P("blocks"),) * 5,
+    sfn = jax.shard_map(fn, mesh=mesh, in_specs=(P("blocks"),) * 4,
                         out_specs=(P("blocks"),) * 3, check_vma=False)
     jfn = jax.jit(sfn)
     holder = {}
@@ -857,8 +890,6 @@ class FusedPallasEngine:
         par = np.tile(np.array([[[1, 4, 6, 2, 26, 1]]], np.int32), (B, 1, 1))
         slen = np.zeros((B, 1, 128), np.int16)
         slen[:, 0, 0] = 1
-        seed = np.full((B, self.VW // 128, 128), -1, np.int8)
-        seed[:, 0, 0] = 0
         seqs = np.full((B, self.RW * FOLD, self.LW // FOLD), -1, np.int8)
         seqs[:, 0, 1] = 0
         for local in locals_:
@@ -870,9 +901,17 @@ class FusedPallasEngine:
                 fn = _compiled_fused(self.VW, self.LW, self.RW, local,
                                      self.interpret, B)
             meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
-                                  jnp.asarray(slen), jnp.asarray(seed),
-                                  jnp.asarray(seqs))
+                                  jnp.asarray(slen), jnp.asarray(seqs))
             np.asarray(meta)
+
+    @staticmethod
+    def _alphabet(seqs) -> np.ndarray:
+        """Sorted distinct byte values across the block's sequences: the
+        byte -> compact-code map (code = rank).  The kernel only tests base
+        equality, so any bijection works; sorted-distinct is rebuilt
+        identically at decode time (no state to thread)."""
+        return np.unique(np.concatenate([np.asarray(s, np.uint8)
+                                         for s in seqs]))
 
     def _eligible(self, seqs) -> bool:
         if not seqs or len(seqs) > self.RW:
@@ -881,6 +920,9 @@ class FusedPallasEngine:
             if len(s) == 0 or len(s) + 1 > self.LW:
                 return False
         if len(seqs[0]) > self.VW:
+            return False
+        # chars8 packs (code+1) in 4-bit fields -> at most 15 distinct bytes
+        if len(self._alphabet(seqs)) > 15:
             return False
         return True
 
@@ -934,7 +976,9 @@ class FusedPallasEngine:
                     redo.append(i)
                     continue
                 planes = exp[b]
-                base = planes[0, :V]
+                # decode compact codes back to raw bytes (same sorted-
+                # distinct map _launch used)
+                base = self._alphabet(seqs)[planes[0, :V]].astype(np.int32)
                 ring = planes[1, :V]
                 order = planes[2, :V]
                 blk_paths = [paths[b, r, :len(s)].tolist()
@@ -972,17 +1016,16 @@ class FusedPallasEngine:
         nseq = np.zeros((B, 1, 1), np.int32)
         par = np.zeros((B, 1, 6), np.int32)
         slen = np.zeros((B, 1, 128), np.int16)
-        seed = np.full((B, VW // 128, 128), -1, np.int8)
         seqs = np.full((B, RW, LW), -1, np.int8)
         for b, i in enumerate(chunk):
             sq, weights, p = blocks[i]
             nseq[b, 0, 0] = len(sq)
             par[b, 0] = [p.m, p.n, p.g, p.e, p.q, p.c]
+            alpha = self._alphabet(sq)
             for r, s in enumerate(sq):
                 slen[b, 0, r] = len(s)
-                seqs[b, r, 1:len(s) + 1] = s
-            s0 = sq[0]
-            seed[b].reshape(-1)[:len(s0)] = s0
+                seqs[b, r, 1:len(s) + 1] = np.searchsorted(
+                    alpha, np.asarray(s, np.uint8))
         seqs = seqs.reshape(B, RW * FOLD, LW // FOLD)
         local = blocks[chunk[0]][2].local
         if self.n_dev > 1:
@@ -991,8 +1034,7 @@ class FusedPallasEngine:
         else:
             fn = _compiled_fused(VW, LW, RW, local, self.interpret, B)
         meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
-                              jnp.asarray(slen), jnp.asarray(seed),
-                              jnp.asarray(seqs))
+                              jnp.asarray(slen), jnp.asarray(seqs))
         # slice the paths D2H to the chunk's tier while still on device
         maxr = max(len(blocks[i][0]) for i in chunk)
         maxl = max(len(s) for i in chunk for s in blocks[i][0])

@@ -55,18 +55,18 @@ def main():
     nseq = np.zeros((B, 1, 1), np.int32)
     par = np.zeros((B, 1, 6), np.int32)
     slen = np.zeros((B, 1, 128), np.int16)
-    seed = np.full((B, VW // 128, 128), -1, np.int8)
     seqs = np.full((B, RW, LW), -1, np.int8)
     for b, (sq, w, p) in enumerate(blocks[:B]):
         nseq[b, 0, 0] = len(sq)
         par[b, 0] = [p.m, p.n, p.g, p.e, p.q, p.c]
+        alpha = FusedPallasEngine._alphabet(sq)
         for r, s in enumerate(sq):
             slen[b, 0, r] = len(s)
-            seqs[b, r, 1:len(s) + 1] = s
-        seed[b].reshape(-1)[:len(sq[0])] = sq[0]
+            seqs[b, r, 1:len(s) + 1] = np.searchsorted(
+                alpha, np.asarray(s, np.uint8))
     seqs = seqs.reshape(B, RW * FOLD, LW // FOLD)
     args = (jnp.asarray(nseq), jnp.asarray(par), jnp.asarray(slen),
-            jnp.asarray(seed), jnp.asarray(seqs))
+            jnp.asarray(seqs))
 
     for stage in stages:
         fn = _compiled_fused(VW, LW, RW, True, False, B, stage)
