@@ -41,10 +41,44 @@ class POAParams:
     q: int = 26      # gap open 2
     c: int = 1       # gap extend 2
     local: bool = True
+    # adaptive band (abPOA parity; reference src/smooth.cpp:258-264
+    # wb=311 wf=0.03): row v of the DP is filled only for columns within
+    # [min_rank(v) - w, max_rank(v) + w] (+ a diagonal shift when seq and
+    # graph depth differ), w = wb + wf_milli*L//1000.  wb < 0 = unbanded.
+    # Integer milli-units instead of abPOA's float wf keep the band width
+    # bit-identical across host, C++ and TPU engines.
+    wb: int = -1
+    wf_milli: int = 30
 
     def __post_init__(self):
         assert self.g >= self.e >= 0 and self.q >= self.c >= 0, \
             "prefix-scan F formulation requires open >= ext per channel"
+
+    def band_w(self, L: int) -> int:
+        """Band half-width for a length-L sequence (< 0 = unbanded)."""
+        if self.wb < 0:
+            return -1
+        return self.wb + (self.wf_milli * L) // 1000
+
+
+def node_ranks(graph, order):
+    """Min/max topological rank per node (1 + min/max over predecessors;
+    sources = 1) and the graph depth D = max rank.  The abPOA band anchor
+    (abpoa_topological_sort recomputes these per added sequence; we compute
+    them per fill walk, which sees the same graph state)."""
+    mr = {}
+    Mr = {}
+    D = 0
+    for v in order:
+        ps = graph.preds[v]
+        if ps:
+            mr[v] = 1 + min(mr[u] for u in ps)
+            Mr[v] = 1 + max(Mr[u] for u in ps)
+        else:
+            mr[v] = Mr[v] = 1
+        if Mr[v] > D:
+            D = Mr[v]
+    return mr, Mr, D
 
 
 def fill(graph: POAGraph, seq: np.ndarray, p: POAParams):
@@ -70,6 +104,15 @@ def fill(graph: POAGraph, seq: np.ndarray, p: POAParams):
             H[0, 1:] = np.maximum(-(p.g + (jidx[1:] - 1) * p.e),
                                   -(p.q + (jidx[1:] - 1) * p.c))
 
+    w = p.band_w(L)
+    if w >= 0:
+        mr, Mr, D = node_ranks(graph, order)
+        # diagonal shift when sequence length and graph depth differ: keeps
+        # the main sink's band covering column L (global) and the seed
+        # diagonal in-band regardless of indel skew
+        adj_l = max(0, D - L)
+        adj_r = max(0, L - D)
+
     seq_i = seq.astype(np.int32)
     for i in range(1, V + 1):
         v = node_of_row[i]
@@ -88,6 +131,16 @@ def fill(graph: POAGraph, seq: np.ndarray, p: POAParams):
         hq = np.maximum(M, np.maximum(e1, e2))
         if p.local:
             np.maximum(hq, 0, out=hq)
+        if w >= 0:
+            # out-of-band cells are never computed (abPOA adaptive band):
+            # mask hq BEFORE the F scan so the in-row prefix max sources
+            # from in-band cells only, then mask every stored channel
+            lo = max(0, mr[v] - w - adj_l)
+            hi = min(L, Mr[v] + w + adj_r)
+            band = (jidx >= lo) & (jidx <= hi)
+            hq = np.where(band, hq, NEG)
+            e1 = np.where(band, e1, NEG)
+            e2 = np.where(band, e2, NEG)
         F1 = np.full(L + 1, NEG, dtype=np.int32)
         F2 = np.full(L + 1, NEG, dtype=np.int32)
         if L:
@@ -96,7 +149,10 @@ def fill(graph: POAGraph, seq: np.ndarray, p: POAParams):
             F1[1:] = G1[:-1] - p.g - p.e * (jidx[1:] - 1)
             F2[1:] = G2[:-1] - p.q - p.c * (jidx[1:] - 1)
 
-        H[i] = np.maximum(hq, np.maximum(F1, F2))
+        Hrow = np.maximum(hq, np.maximum(F1, F2))
+        if w >= 0:
+            Hrow = np.where(band, Hrow, NEG)
+        H[i] = Hrow
         Hq[i] = hq
         E1[i] = e1
         E2[i] = e2
