@@ -29,6 +29,11 @@ constexpr int32_t NEG = -(1 << 30);
 struct Params {
     int32_t m, n, g, e, q, c;
     bool local;
+    // adaptive band (abPOA parity; ops/poa_host.POAParams.wb/wf_milli):
+    // row v filled only for columns [min_rank(v)-w, max_rank(v)+w] with a
+    // diagonal shift for length skew, w = wb + wf_milli*L/1000; wb < 0 off
+    int32_t wb = -1;
+    int32_t wf_milli = 30;
 };
 
 struct FusedPOA {
@@ -119,22 +124,59 @@ struct FusedPOA {
                                  -(p.q + (int32_t)(j - 1) * p.c));
         }
 
+        // adaptive band: per-node min/max topological rank (1 + min/max
+        // over predecessors; identical to ops/poa_host.node_ranks)
+        const int32_t w = (p.wb < 0) ? -1
+            : p.wb + (int32_t)(((int64_t)p.wf_milli * L) / 1000);
+        vector<int32_t> mr, MR;
+        int32_t adj_l = 0, adj_r = 0;
+        if (w >= 0) {
+            mr.assign(base.size(), 1);
+            MR.assign(base.size(), 1);
+            int32_t D = 0;
+            for (int64_t i = 0; i < V; ++i) {
+                int32_t v = order[i];
+                int32_t lo = 1 << 30, hi = 0;
+                for (int32_t u : preds[v]) {
+                    lo = std::min(lo, mr[u]);
+                    hi = std::max(hi, MR[u]);
+                }
+                mr[v] = preds[v].empty() ? 1 : lo + 1;
+                MR[v] = preds[v].empty() ? 1 : hi + 1;
+                D = std::max(D, MR[v]);
+            }
+            adj_l = std::max<int32_t>(0, D - (int32_t)L);
+            adj_r = std::max<int32_t>(0, (int32_t)L - D);
+        }
+
         vector<int32_t> hpmax(W), e1p(W), e2p(W);
         for (int64_t i = 1; i <= V; ++i) {
             int32_t v = order[i - 1];
             const auto& ps = preds[v];
+            // band window [blo, bhi] of columns to fill (full row when off)
+            int64_t blo = 0, bhi = W - 1;
+            if (w >= 0) {
+                blo = std::max<int64_t>(0, (int64_t)mr[v] - w - adj_l);
+                bhi = std::min<int64_t>(L, (int64_t)MR[v] + w + adj_r);
+            }
+            // predecessor reductions restricted to [blo-1, bhi] (M reads
+            // column j-1; cells outside stay whatever — never read)
+            const int64_t clo = std::max<int64_t>(0, blo - 1);
             if (ps.empty()) {
-                std::copy(Hr, Hr + W, hpmax.begin());
-                std::copy(E1r, E1r + W, e1p.begin());
-                std::copy(E2r, E2r + W, e2p.begin());
+                std::copy(Hr + clo, Hr + bhi + 1, hpmax.begin() + clo);
+                std::copy(E1r + clo, E1r + bhi + 1, e1p.begin() + clo);
+                std::copy(E2r + clo, E2r + bhi + 1, e2p.begin() + clo);
             } else {
                 int64_t r0 = (int64_t)row_of[ps[0]] * W;
-                std::copy(Hr + r0, Hr + r0 + W, hpmax.begin());
-                std::copy(E1r + r0, E1r + r0 + W, e1p.begin());
-                std::copy(E2r + r0, E2r + r0 + W, e2p.begin());
+                std::copy(Hr + r0 + clo, Hr + r0 + bhi + 1,
+                          hpmax.begin() + clo);
+                std::copy(E1r + r0 + clo, E1r + r0 + bhi + 1,
+                          e1p.begin() + clo);
+                std::copy(E2r + r0 + clo, E2r + r0 + bhi + 1,
+                          e2p.begin() + clo);
                 for (size_t k = 1; k < ps.size(); ++k) {
                     int64_t r = (int64_t)row_of[ps[k]] * W;
-                    for (int64_t j = 0; j < W; ++j) {
+                    for (int64_t j = clo; j <= bhi; ++j) {
                         hpmax[j] = std::max(hpmax[j], Hr[r + j]);
                         e1p[j] = std::max(e1p[j], E1r[r + j]);
                         e2p[j] = std::max(e2p[j], E2r[r + j]);
@@ -144,7 +186,7 @@ struct FusedPOA {
             int32_t bv = base[v];
             int64_t ri = i * W;
             int32_t f1 = NEG, f2 = NEG;   // running F channels (prefix scan)
-            for (int64_t j = 0; j < W; ++j) {
+            for (int64_t j = blo; j <= bhi; ++j) {
                 int32_t M = (j == 0) ? NEG
                     : hpmax[j - 1] + (seq[j - 1] == bv ? p.m : -p.n);
                 int32_t e1 = std::max(hpmax[j] - p.g, e1p[j] - p.e);
@@ -332,9 +374,10 @@ extern "C" {
 
 void* cpoa_run(const int8_t* seqs, const int64_t* seq_off, int64_t R,
                int32_t m, int32_t n, int32_t g, int32_t e,
-               int32_t q, int32_t c, int32_t local, int32_t ring_cap) {
+               int32_t q, int32_t c, int32_t local, int32_t ring_cap,
+               int32_t wb, int32_t wf_milli) {
     auto* f = new FusedPOA(ring_cap);
-    Params p{m, n, g, e, q, c, local != 0};
+    Params p{m, n, g, e, q, c, local != 0, wb, wf_milli};
     for (int64_t r = 0; r < R; ++r)
         f->add_sequence(seqs + seq_off[r], seq_off[r + 1] - seq_off[r], p);
     f->walk();   // final order/pos

@@ -56,7 +56,7 @@ def load() -> ctypes.CDLL | None:
     p64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.cpoa_run.restype = ctypes.c_void_p
     lib.cpoa_run.argtypes = [p8, p64, i64, i32, i32, i32, i32, i32, i32,
-                             i32, i32]
+                             i32, i32, i32, i32]
     lib.cpoa_n_nodes.restype = i64
     lib.cpoa_n_nodes.argtypes = [ctypes.c_void_p]
     lib.cpoa_max_pred.restype = i64
@@ -89,7 +89,7 @@ def poa_block(seqs: list[np.ndarray], p: POAParams,
         if R else np.zeros(0, dtype=np.int8)
     flat = np.ascontiguousarray(flat, dtype=np.int8)
     h = lib.cpoa_run(flat, seq_off, R, p.m, p.n, p.g, p.e, p.q, p.c,
-                     int(p.local), ring_cap)
+                     int(p.local), ring_cap, p.wb, p.wf_milli)
     try:
         V = lib.cpoa_n_nodes(h)
         base = np.zeros(max(V, 1), dtype=np.int32)

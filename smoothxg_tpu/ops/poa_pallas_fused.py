@@ -476,8 +476,16 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                 return (head, Vc, ovf | tb_bad)
 
             # ---- threading ----
-            def pos_body(j, bch, st2, act):
-                prev, prevpos, guard, Vc_, head_, ovf_, nspl = st2
+            def pos_body(j, st2):
+                # chars are extracted 8 at a time: the packed 4-bit window
+                # rides in the carry and refreshes every 8th position (ONE
+                # loop body — an 8x unrolled version compiled ~4x slower
+                # for no measurable runtime gain)
+                prev, prevpos, guard, Vc_, head_, ovf_, nspl, pk = st2
+                pk = jax.lax.cond((j & 7) == 0,
+                                  lambda _: chars8(r, j), lambda _: pk, None)
+                bch = ((pk >> (4 * (j & 7))) & 15) - 1
+                act = jnp.bool_(True)     # loop runs exactly L positions
                 t = tgtA[j]
                 tvalid = act & (t >= 0)
                 t0 = jnp.maximum(t, 0)
@@ -611,20 +619,13 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
                 nprev = jnp.where(act, v, prev)
                 nprevpos = jnp.where(act & found, possel, prevpos)
-                return (nprev, nprevpos, nguard, nVc, nh, ovf_ | o, nnspl)
-
-            def chunk_body(ci, st2):
-                jb = ci * 8
-                packed = chars8(r, jb)
-                for k in range(8):
-                    st2 = pos_body(jb + k, ((packed >> (4 * k)) & 15) - 1,
-                                   st2, (jb + k) < L)
-                return st2
+                return (nprev, nprevpos, nguard, nVc, nh, ovf_ | o, nnspl,
+                        pk)
 
             st2 = jax.lax.fori_loop(
-                0, (L + 7) // 8, chunk_body,
+                0, L, pos_body,
                 (jnp.int32(-1), jnp.int32(-1), jnp.int32(-1), Vc, head,
-                 ovf | tb_bad, jnp.int32(0)))
+                 ovf | tb_bad, jnp.int32(0), jnp.int32(0)))
             Vc2, head2, ovf2, nspl2 = st2[3], st2[4], st2[5], st2[6]
 
             # apply the deferred ring splices (targets are distinct within
@@ -934,7 +935,9 @@ class FusedPallasEngine:
         dev: dict[bool, list[int]] = {}      # keyed by params.local
         fb: list[int] = []
         for i, (seqs, weights, params) in enumerate(blocks):
-            if self._eligible(seqs):
+            # banded params (abPOA mode) run native until the kernel's
+            # banded fill lands; the fallback implements identical banding
+            if self._eligible(seqs) and params.wb < 0:
                 dev.setdefault(params.local, []).append(i)
             else:
                 self.fallbacks += 1

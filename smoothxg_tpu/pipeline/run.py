@@ -174,8 +174,12 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                 threads=cfg.threads)
 
         m, n, gp, e, q, c = cfg.poa_params
+        # abPOA mode always aligns adaptively banded (reference:
+        # src/smooth.cpp:2063 passes banded_alignment=true, wb=311 wf=0.03
+        # at :258-264); SPOA mode is unbanded
         params = POAParams(m, n, gp, e, q, c,
-                           local=cfg.local_alignment and not cfg.use_abpoa)
+                           local=cfg.local_alignment and not cfg.use_abpoa,
+                           wb=311 if cfg.use_abpoa else -1)
         consensus_base = cfg.consensus_path_prefix if (last and cfg.add_consensus) else ""
         produce_maf = last and bool(cfg.write_msa_in_maf_format)
         graph_cache = None

@@ -144,7 +144,8 @@ def _adaptive_params(idx: FlatIndex, ranges, base: POAParams, kmer_size: int,
     ]
     for thr, (m, n, g, e, q, c) in tiers:
         if est >= thr:
-            return POAParams(m, n, g, e, q, c, local=base.local)
+            return POAParams(m, n, g, e, q, c, local=base.local,
+                             wb=base.wb, wf_milli=base.wf_milli)
     return base
 
 

@@ -78,3 +78,30 @@ def test_native_engine_in_smooth():
     assert g_native.seq_paths == g_host.seq_paths
     assert g_native.group == g_host.group
     assert g_native.consensus_path() == g_host.consensus_path()
+
+
+@pytest.mark.parametrize("wb", [311, 7, 2])
+@pytest.mark.parametrize("local", [True, False])
+@pytest.mark.parametrize("seqs", CASES)
+def test_native_banded_matches_oracle(seqs, local, wb):
+    """Banded fills (production wb=311 down to degenerate wb=2) stay
+    bit-for-bit with the banded numpy oracle."""
+    assert_parity(seqs, POAParams(local=local, wb=wb))
+
+
+@pytest.mark.parametrize("local", [True, False])
+def test_native_banded_random_indels(local):
+    rng = np.random.default_rng(31)
+    base = "".join("ACGT"[i] for i in rng.integers(0, 4, 150))
+    seqs = [base]
+    for _ in range(5):
+        s = list(base)
+        for _ in range(8):
+            pos = int(rng.integers(0, len(s)))
+            s[pos] = "ACGT"[int(rng.integers(0, 4))]
+        pos = int(rng.integers(5, len(s) - 10))
+        s = s[:pos] + list("ACGTAC")[: int(rng.integers(1, 6))] + s[pos:]
+        pos = int(rng.integers(5, len(s) - 12))
+        del s[pos:pos + int(rng.integers(1, 6))]
+        seqs.append("".join(s))
+    assert_parity(seqs, POAParams(local=local, wb=311))
