@@ -83,7 +83,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=8)
 def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
-                 B: int, stage: int = 0):
+                 B: int, stage: int = 0, banded: bool = False):
     # stage is a PROFILING knob (tools/profile_fused.py): 0 = full kernel,
     # 1 = fill + end-cell only (skip traceback + threading), 2 = skip
     # threading only, 3 = threading without the ring scan, 4 = threading
@@ -105,8 +105,18 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
     def kernel(nseq_s, par_s, slen_r, seqs_r,
                meta_r, exp_r, paths_r,
-               HH, EE, CC, predp,
-               baseA, posA, ringA, nxtA, npredA, nsuccA, preds8, tgtA):
+               HH, EE, CC,
+               baseA, posA, ringA, nxtA, npredA, nsuccA, preds8, tgtA,
+               bchA, *rankA):
+        # Branch-free hot loops: Mosaic lowers lax.cond to predicated
+        # execution of BOTH sides, so a cond whose untaken side holds a
+        # masked VMEM lane read (~235ns) costs the read every iteration.
+        # All per-node state lives in SMEM; conditional scalar stores are
+        # unconditional stores whose INDEX selects a dummy slot (VW / 8*VW
+        # / L) when inactive.  Predecessor slots are capped at 8 — a ninth
+        # edge sets ovf and the block redoes on the native engine.
+        if banded:
+            mrA, MrA = rankA       # SMEM min/max topological rank per node
         lane128 = jax.lax.broadcasted_iota(DT, (1, 128), 1)
         subf = jax.lax.broadcasted_iota(DT, (FOLD, LANES), 0)
         lanef = jax.lax.broadcasted_iota(DT, (FOLD, LANES), 1)
@@ -162,12 +172,6 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             row = CC[pl.ds(FOLD * i + j // LANES, 1), :]
             return jnp.max(jnp.where(lanefr == (j % LANES), row, -1))
 
-        def predp_slot(v, s):
-            """Masked read of pred slot s >= 8 from the VMEM overflow
-            plane (rare; slots < 8 live in SMEM preds8)."""
-            row = predp[pl.ds(v, 1), :]
-            return jnp.max(jnp.where(lane128 == s, row, NEGBIG))
-
         R = nseq_s[0, 0, 0]
         m = par_s[0, 0, 0]
         n = par_s[0, 0, 1]
@@ -175,6 +179,8 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
         e = par_s[0, 0, 3]
         q = par_s[0, 0, 4]
         c = par_s[0, 0, 5]
+        wb = par_s[0, 0, 6]
+        wfm = par_s[0, 0, 7]
 
         slen_row = slen_r[0, 0:1, :]
 
@@ -204,10 +210,6 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
         # ================= seed from sequence 0 =================
         L0 = slen_at(0)
-        iovp = jax.lax.broadcasted_iota(DT, (VW, 128), 0)
-        lanesp = jax.lax.broadcasted_iota(DT, (VW, 128), 1)
-        predp[:, :] = jnp.where((lanesp == 0) & (iovp >= 1) & (iovp < L0),
-                                iovp - 1, -9)
         iol = (jax.lax.broadcasted_iota(DT, (LWr, 128), 0) * 128
                + jax.lax.broadcasted_iota(DT, (LWr, 128), 1))
         paths_r[0, 0:LWr, :] = jnp.where(iol < L0, iol, -1)
@@ -218,16 +220,14 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             for k in range(8):
                 i = jb + k
                 bch = ((packed >> (4 * k)) & 15) - 1
-
-                @pl.when(i < L0)
-                def _():
-                    baseA[i] = bch
-                    posA[i] = i
-                    ringA[i] = i
-                    nxtA[i] = jnp.where(i < L0 - 1, i + 1, -1)
-                    npredA[i] = jnp.where(i >= 1, 1, 0)
-                    nsuccA[i] = jnp.where(i < L0 - 1, 1, 0)
-                    preds8[8 * i] = i - 1
+                ii = jnp.where(i < L0, i, VW)       # dummy slot when past L0
+                baseA[ii] = bch
+                posA[ii] = i
+                ringA[ii] = i
+                nxtA[ii] = jnp.where(i < L0 - 1, i + 1, -1)
+                npredA[ii] = jnp.where(i >= 1, 1, 0)
+                nsuccA[ii] = jnp.where(i < L0 - 1, 1, 0)
+                preds8[8 * ii] = i - 1
             return 0
 
         jax.lax.fori_loop(0, (L0 + 7) // 8, seed_chunk, 0)
@@ -239,6 +239,39 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             seqv32 = seqs_r[0, pl.ds(r * FOLD, FOLD), :]   # folded chars
 
             colmask = colidx <= L
+
+            if banded:
+                # ---- rank prepass (ops/poa_host.node_ranks): min/max
+                # topological rank per node, recomputed each round over the
+                # current graph; pure SMEM walk ----
+                def rank_body(_, st):
+                    v, D = st
+                    np_ = npredA[v]
+
+                    def rploop(p, acc):
+                        lo_, hi_ = acc
+                        pid = jnp.maximum(preds8[8 * v + jnp.minimum(p, 7)],
+                                          0)
+                        pm = mrA[pid]
+                        pM = MrA[pid]
+                        ok = p < np_
+                        return (jnp.where(ok, jnp.minimum(lo_, pm), lo_),
+                                jnp.where(ok, jnp.maximum(hi_, pM), hi_))
+
+                    lo_, hi_ = jax.lax.fori_loop(
+                        0, jnp.maximum(np_, 1), rploop,
+                        (jnp.int32(1 << 28), jnp.int32(0)))
+                    mv = jnp.where(np_ == 0, 1, lo_ + 1)
+                    Mv = jnp.where(np_ == 0, 1, hi_ + 1)
+                    mrA[v] = mv
+                    MrA[v] = Mv
+                    return (jnp.maximum(nxtA[v], 0), jnp.maximum(D, Mv))
+
+                _, Dg = jax.lax.fori_loop(0, Vc, rank_body,
+                                          (head, jnp.int32(0)))
+                bw = wb + (wfm * L) // 1000
+                adj_l = jnp.maximum(0, Dg - L)
+                adj_r = jnp.maximum(0, L - Dg)
 
             # ---- DP row 0 ----
             if local:
@@ -266,11 +299,8 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
                 def ploop(p, acc):
                     hmax, e1mx, e2mx, hs, e1s, e2s = acc
-                    pid8 = preds8[8 * v + jnp.minimum(p, 7)]
-                    pid = jax.lax.cond(p >= 8,
-                                       lambda _: predp_slot(v, p),
-                                       lambda _: pid8, None)
-                    pid = jnp.where(p < np_, pid, -1)
+                    pid = jnp.where(p < np_,
+                                    preds8[8 * v + jnp.minimum(p, 7)], -1)
                     hh = HH[pl.ds(FOLD * (pid + 1), FOLD), :]
                     ee = EE[pl.ds(FOLD * (pid + 1), FOLD), :]
                     h = lo16(hh)
@@ -307,6 +337,15 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                 else:
                     hqz = ZROW
                 hqselr = jnp.where(M == hq, 0, jnp.where(e1r == hq, 1, 2))
+                if banded:
+                    # adaptive band (oracle: poa_host.fill): out-of-band
+                    # cells masked to the floor BEFORE the F prefix scan
+                    blo = jnp.maximum(0, mrA[v] - bw - adj_l)
+                    bhi = jnp.minimum(L, MrA[v] + bw + adj_r)
+                    bandm = (colidx >= blo) & (colidx <= bhi)
+                    hq = jnp.where(bandm, hq, NEG16)
+                    e1r = jnp.where(bandm, e1r, NEG16)
+                    e2r = jnp.where(bandm, e2r, NEG16)
                 g1in = hq + ej
                 G1 = cummax_f(g1in)
                 f1new = g1in == G1
@@ -316,6 +355,8 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                 f2new = g2in == G2
                 F2 = fshift1(G2, NEG16) - q - cj + c
                 Hrow = jnp.maximum(hq, jnp.maximum(F1, F2))
+                if banded:
+                    Hrow = jnp.where(bandm, Hrow, NEG16)
                 HH[pl.ds(FOLD * (v + 1), FOLD), :] = pack2(Hrow, hq).astype(DT)
                 EE[pl.ds(FOLD * (v + 1), FOLD), :] = pack2(e1r, e2r).astype(DT)
                 code = (mslotr | (e1slotr << 7) | (b1(e1o) << 14)
@@ -364,12 +405,18 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                 bi = bn + 1
                 bj = L
 
-            # ---- clear targets ----
+            # ---- clear targets; stage the round's chars into SMEM (8 at
+            # a time; keeps the threading loop free of packed-window
+            # bookkeeping — an SMEM read per position is ~free) ----
             def tclr(j2, _):
-                tgtA[j2] = -1
+                packed = chars8(r, j2 * 8)
+                for k in range(8):
+                    tgtA[j2 * 8 + k] = -1
+                    bchA[j2 * 8 + k] = ((packed >> (4 * k)) & 15) - 1
                 return 0
 
-            jax.lax.fori_loop(0, jnp.minimum(L + 1, LW), tclr, 0)
+            jax.lax.fori_loop(0, (L + 7) // 8, tclr, 0)
+            # (tgtA[L] itself is never read: targets/splices index < L)
 
             # ---- traceback: chase the provenance codes ----
             # chan: 0=H, 1=Hq (post-F, no F allowed), 2=E1, 3=E2
@@ -402,11 +449,10 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                 np_ = npredA[nid]
 
                 def slotpid(s):
+                    # preds capped at 8 slots (9th edge -> ovf -> native
+                    # redo), so the SMEM read is always authoritative
                     pid8 = preds8[8 * nid + jnp.minimum(s, 7)]
-                    pid = jax.lax.cond(s >= 8,
-                                       lambda _: predp_slot(nid, s),
-                                       lambda _: pid8, None)
-                    return jnp.where(s < np_, pid, -1)
+                    return jnp.where(s < np_, pid8, -1)
 
                 m_take = hq_go & (hqsel_c == 0)
                 e1_in = (hq_go & (hqsel_c == 1)) | (chan == 2)
@@ -477,14 +523,8 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
             # ---- threading ----
             def pos_body(j, st2):
-                # chars are extracted 8 at a time: the packed 4-bit window
-                # rides in the carry and refreshes every 8th position (ONE
-                # loop body — an 8x unrolled version compiled ~4x slower
-                # for no measurable runtime gain)
-                prev, prevpos, guard, Vc_, head_, ovf_, nspl, pk = st2
-                pk = jax.lax.cond((j & 7) == 0,
-                                  lambda _: chars8(r, j), lambda _: pk, None)
-                bch = ((pk >> (4 * (j & 7))) & 15) - 1
+                prev, prevpos, guard, Vc_, head_, ovf_, nspl, prow = st2
+                bch = bchA[j]             # staged by tclr; SMEM read ~free
                 act = jnp.bool_(True)     # loop runs exactly L positions
                 t = tgtA[j]
                 tvalid = act & (t >= 0)
@@ -579,53 +619,47 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                 # common <= 8 case, masked row reduce above it)
                 np_v = npredA[vc0]
 
-                def has_smem(_):
-                    def hb(p, f):
-                        return f | (preds8[8 * vc0 + p] == prev)
-                    return jax.lax.fori_loop(0, jnp.minimum(np_v, 8), hb,
-                                             jnp.bool_(False))
+                def hb(p, f):
+                    return f | ((p < np_v)
+                                & (preds8[8 * vc0 + jnp.minimum(p, 7)]
+                                   == prev))
 
-                def has_vec(_):
-                    row = predp[pl.ds(vc0, 1), :]
-                    return jnp.max(jnp.where(row == prev, 1, 0)) > 0
-
-                has = jax.lax.cond(np_v > 8, has_vec, has_smem, None)
+                has = jax.lax.fori_loop(0, jnp.minimum(np_v, 8), hb,
+                                        jnp.bool_(False))
                 do_add = act & (prev >= 0) & (~has)
 
                 def add_edge(_):
                     npv = np_v
                     prevc = jnp.maximum(prev, 0)
-
-                    @pl.when(npv < 8)
-                    def _():
-                        preds8[8 * vc0 + jnp.minimum(npv, 7)] = prev
-                    slotm = lane128 == jnp.minimum(npv, 127)
-                    row = predp[pl.ds(vc0, 1), :]
-                    predp[pl.ds(vc0, 1), :] = jnp.where(slotm, prev, row)
+                    preds8[8 * vc0 + jnp.minimum(npv, 7)] = prev
                     npredA[vc0] = npv + 1
                     nsuccA[prevc] = nsuccA[prevc] + 1
-                    return npv >= 128
+                    return npv >= 8
 
                 if stage != 4:
                     o = o | jax.lax.cond(do_add, add_edge,
                                          lambda _: jnp.bool_(False), None)
 
-                @pl.when(act)
-                def _():
-                    rr = r * LWr + j // 128
-                    mm = lane128 == (j % 128)
-                    cur = paths_r[0, pl.ds(rr, 1), :]
-                    paths_r[0, pl.ds(rr, 1), :] = jnp.where(mm, v, cur)
+                # accumulate the path row in a VECTOR carry and flush every
+                # 128 positions: a per-position VMEM read-blend-write of
+                # the same row would serialize through memory
+                prow = jnp.where(lane128 == (j & 127), v, prow)
 
+                @pl.when(((j & 127) == 127) | (j == L - 1))
+                def _():
+                    paths_r[0, pl.ds(r * LWr + j // 128, 1), :] = prow
+
+                nprow = jnp.where((j & 127) == 127,
+                                  jnp.full((1, 128), -1, DT), prow)
                 nprev = jnp.where(act, v, prev)
                 nprevpos = jnp.where(act & found, possel, prevpos)
                 return (nprev, nprevpos, nguard, nVc, nh, ovf_ | o, nnspl,
-                        pk)
+                        nprow)
 
             st2 = jax.lax.fori_loop(
                 0, L, pos_body,
                 (jnp.int32(-1), jnp.int32(-1), jnp.int32(-1), Vc, head,
-                 ovf | tb_bad, jnp.int32(0), jnp.int32(0)))
+                 ovf | tb_bad, jnp.int32(0), jnp.full((1, 128), -1, DT)))
             Vc2, head2, ovf2, nspl2 = st2[3], st2[4], st2[5], st2[6]
 
             # apply the deferred ring splices (targets are distinct within
@@ -676,7 +710,7 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),       # nseq
-            pl.BlockSpec((1, 1, 6), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),       # params
             pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),       # seq lengths
@@ -695,16 +729,20 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             pltpu.VMEM(((VW + 1) * FOLD, LANES), DT),    # HH (folded)
             pltpu.VMEM(((VW + 1) * FOLD, LANES), DT),    # EE (folded)
             pltpu.VMEM(((VW + 1) * FOLD, LANES), DT),    # CC codes (folded)
-            pltpu.VMEM((VW, 128), DT),       # pred slots >= 8 + dedup rows
-            pltpu.SMEM((VW,), DT),           # base
-            pltpu.SMEM((VW,), DT),           # topo pos
-            pltpu.SMEM((VW,), DT),           # ring
-            pltpu.SMEM((VW,), DT),           # nxt (topo list)
-            pltpu.SMEM((VW,), DT),           # npred
-            pltpu.SMEM((VW,), DT),           # nsucc
-            pltpu.SMEM((8 * VW,), DT),       # pred slots 0..7
-            pltpu.SMEM((LW,), DT),           # targets / pending splices
-        ],
+            # +1 slots: index VW / 8*VW / >=L are DUMMY sinks for the
+            # branch-free unconditional stores (see kernel comment)
+            pltpu.SMEM((VW + 1,), DT),       # base
+            pltpu.SMEM((VW + 1,), DT),       # topo pos
+            pltpu.SMEM((VW + 1,), DT),       # ring
+            pltpu.SMEM((VW + 1,), DT),       # nxt (topo list)
+            pltpu.SMEM((VW + 1,), DT),       # npred
+            pltpu.SMEM((VW + 1,), DT),       # nsucc
+            pltpu.SMEM((8 * (VW + 1),), DT),  # pred slots 0..7
+            pltpu.SMEM((LW + 8,), DT),       # targets / pending splices
+            pltpu.SMEM((LW + 8,), DT),       # current round's seq chars
+        ] + ([pltpu.SMEM((VW + 1,), DT),     # min rank (banded only)
+              pltpu.SMEM((VW + 1,), DT)]     # max rank
+             if banded else []),
     )
 
     pallas_fn = pl.pallas_call(
@@ -721,10 +759,10 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
 
 def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
-              B: int, stage: int = 0):
+              B: int, stage: int = 0, banded: bool = False):
     import jax.numpy as jnp
 
-    pallas_fn = _pallas_core(VW, LW, RW, local, interpret, B, stage)
+    pallas_fn = _pallas_core(VW, LW, RW, local, interpret, B, stage, banded)
 
     def fn(nseq, par, slen, seqs):
         # sequences ship int8 over the tunnel; upcast on device.  Outputs
@@ -738,10 +776,10 @@ def _fused_fn(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
 @functools.lru_cache(maxsize=64)
 def _compiled_fused(VW: int, LW: int, RW: int, local: bool, interpret: bool,
-                    B: int, stage: int = 0):
+                    B: int, stage: int = 0, banded: bool = False):
     import jax
 
-    fn = _fused_fn(VW, LW, RW, local, interpret, B, stage)
+    fn = _fused_fn(VW, LW, RW, local, interpret, B, stage, banded)
     jfn = jax.jit(fn)
     holder = {}
 
@@ -760,7 +798,8 @@ def _compiled_fused(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
 @functools.lru_cache(maxsize=16)
 def _compiled_fused_sharded(VW: int, LW: int, RW: int, local: bool,
-                            interpret: bool, B: int, n_dev: int):
+                            interpret: bool, B: int, n_dev: int,
+                            banded: bool = False):
     """Data-parallel fused kernel: global batch B*n_dev sharded over a 1-D
     device mesh via shard_map — each device runs the grid=B kernel on its
     shard.  The TPU-native mapping of the reference's OMP-over-blocks loop
@@ -769,7 +808,7 @@ def _compiled_fused_sharded(VW: int, LW: int, RW: int, local: bool,
     import numpy as np_
     from jax.sharding import Mesh, PartitionSpec as P
 
-    fn = _fused_fn(VW, LW, RW, local, interpret, B)
+    fn = _fused_fn(VW, LW, RW, local, interpret, B, banded=banded)
     devs = jax.devices()
     if len(devs) < n_dev:
         raise RuntimeError(
@@ -884,23 +923,25 @@ class FusedPallasEngine:
             "device_wait_s": round(self.device_s, 3),
         }
 
-    def warmup(self, locals_=(True,)):
+    def warmup(self, locals_=(True,), banded=(False,)):
         import jax.numpy as jnp
         B = self.max_batch * self.n_dev
         nseq = np.ones((B, 1, 1), np.int32)
-        par = np.tile(np.array([[[1, 4, 6, 2, 26, 1]]], np.int32), (B, 1, 1))
+        par = np.tile(np.array([[[1, 4, 6, 2, 26, 1, 0, 30]]], np.int32),
+                      (B, 1, 1))
         slen = np.zeros((B, 1, 128), np.int16)
         slen[:, 0, 0] = 1
         seqs = np.full((B, self.RW * FOLD, self.LW // FOLD), -1, np.int8)
         seqs[:, 0, 1] = 0
         for local in locals_:
+          for bd in banded:
             if self.n_dev > 1:
                 fn = _compiled_fused_sharded(self.VW, self.LW, self.RW,
                                              local, self.interpret,
-                                             self.max_batch, self.n_dev)
+                                             self.max_batch, self.n_dev, bd)
             else:
                 fn = _compiled_fused(self.VW, self.LW, self.RW, local,
-                                     self.interpret, B)
+                                     self.interpret, B, banded=bd)
             meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
                                   jnp.asarray(slen), jnp.asarray(seqs))
             np.asarray(meta)
@@ -932,13 +973,13 @@ class FusedPallasEngine:
         import jax.numpy as jnp
 
         results = [None] * len(blocks)
-        dev: dict[bool, list[int]] = {}      # keyed by params.local
+        # keyed by (params.local, banded) — each is a separate kernel
+        # variant (banded adds the rank prepass + band mask)
+        dev: dict[tuple, list[int]] = {}
         fb: list[int] = []
         for i, (seqs, weights, params) in enumerate(blocks):
-            # banded params (abPOA mode) run native until the kernel's
-            # banded fill lands; the fallback implements identical banding
-            if self._eligible(seqs) and params.wb < 0:
-                dev.setdefault(params.local, []).append(i)
+            if self._eligible(seqs):
+                dev.setdefault((params.local, params.wb >= 0), []).append(i)
             else:
                 self.fallbacks += 1
                 fb.append(i)
@@ -1017,13 +1058,14 @@ class FusedPallasEngine:
             B = len(chunk) if self.interpret else self.max_batch
         RW, LW, VW = self.RW, self.LW, self.VW
         nseq = np.zeros((B, 1, 1), np.int32)
-        par = np.zeros((B, 1, 6), np.int32)
+        par = np.zeros((B, 1, 8), np.int32)
         slen = np.zeros((B, 1, 128), np.int16)
         seqs = np.full((B, RW, LW), -1, np.int8)
         for b, i in enumerate(chunk):
             sq, weights, p = blocks[i]
             nseq[b, 0, 0] = len(sq)
-            par[b, 0] = [p.m, p.n, p.g, p.e, p.q, p.c]
+            par[b, 0] = [p.m, p.n, p.g, p.e, p.q, p.c,
+                         max(p.wb, 0), p.wf_milli]
             alpha = self._alphabet(sq)
             for r, s in enumerate(sq):
                 slen[b, 0, r] = len(s)
@@ -1031,11 +1073,13 @@ class FusedPallasEngine:
                     alpha, np.asarray(s, np.uint8))
         seqs = seqs.reshape(B, RW * FOLD, LW // FOLD)
         local = blocks[chunk[0]][2].local
+        banded = blocks[chunk[0]][2].wb >= 0
         if self.n_dev > 1:
             fn = _compiled_fused_sharded(VW, LW, RW, local, self.interpret,
-                                         self.max_batch, self.n_dev)
+                                         self.max_batch, self.n_dev, banded)
         else:
-            fn = _compiled_fused(VW, LW, RW, local, self.interpret, B)
+            fn = _compiled_fused(VW, LW, RW, local, self.interpret, B,
+                                 banded=banded)
         meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
                               jnp.asarray(slen), jnp.asarray(seqs))
         # slice the paths D2H to the chunk's tier while still on device

@@ -88,3 +88,28 @@ def test_fused_kernel_batch_and_fallback(engine):
                 np.array([g.base[v] for v in path], dtype=np.int32),
                 np.asarray(s, dtype=np.int32))
         assert g.consensus_path()
+
+
+@pytest.mark.parametrize("wb", [311, 7])
+@pytest.mark.parametrize("local", [True, False])
+@pytest.mark.parametrize("seqs", CASES[:2])
+def test_fused_kernel_banded_matches_oracle(seqs, local, wb, engine):
+    """Banded kernel variant (rank prepass + band mask) stays bit-for-bit
+    with the banded numpy oracle."""
+    assert_block_parity(engine, seqs, POAParams(local=local, wb=wb))
+
+
+def test_fused_kernel_banded_random(engine):
+    p = POAParams(local=True, wb=311)
+    rng = np.random.default_rng(41)
+    base = "".join("ACGT"[i] for i in rng.integers(0, 4, 80))
+    seqs = [base]
+    for _ in range(4):
+        s = list(base)
+        for _ in range(6):
+            pos = int(rng.integers(0, len(s)))
+            s[pos] = "ACGT"[int(rng.integers(0, 4))]
+        pos = int(rng.integers(5, len(s) - 6))
+        s = s[:pos] + list("ACG")[: int(rng.integers(1, 3))] + s[pos:]
+        seqs.append("".join(s))
+    assert_block_parity(engine, seqs, p)

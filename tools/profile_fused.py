@@ -53,12 +53,12 @@ def main():
     # pack exactly as the engine does
     import jax.numpy as jnp
     nseq = np.zeros((B, 1, 1), np.int32)
-    par = np.zeros((B, 1, 6), np.int32)
+    par = np.zeros((B, 1, 8), np.int32)
     slen = np.zeros((B, 1, 128), np.int16)
     seqs = np.full((B, RW, LW), -1, np.int8)
     for b, (sq, w, p) in enumerate(blocks[:B]):
         nseq[b, 0, 0] = len(sq)
-        par[b, 0] = [p.m, p.n, p.g, p.e, p.q, p.c]
+        par[b, 0] = [p.m, p.n, p.g, p.e, p.q, p.c, max(p.wb, 0), p.wf_milli]
         alpha = FusedPallasEngine._alphabet(sq)
         for r, s in enumerate(sq):
             slen[b, 0, r] = len(s)
