@@ -60,7 +60,11 @@ def main() -> int:
 
     # Fused Pallas kernel: whole multi-sequence POA per block inside one
     # kernel dispatch per batch of 64 blocks
-    engine = FusedPallasEngine()
+    # host pool (redo/fallback + finalize) uses all cores — mirrors the
+    # reference's OMP-parallel host stages; the single-thread CPU baseline
+    # below stays threads=1
+    nthreads = os.cpu_count() or 1
+    engine = FusedPallasEngine(threads=nthreads)
     t0 = time.time()
     engine.warmup(locals_=(True,))
     prewarm_s = time.time() - t0
@@ -75,17 +79,17 @@ def main() -> int:
         for b in bs:
             big.add_block(b)
 
-    def run_once(eng, blockset):
+    def run_once(eng, blockset, threads=1):
         return smooth_blocks(idx, blockset, params=params,
                              consensus_base_name="", produce_maf=False,
-                             engine=eng)
+                             engine=eng, threads=threads)
 
     t0 = time.time()
-    run_once(engine, bs)          # warmup: any residual variant compiles
+    run_once(engine, bs, nthreads)  # warmup: residual variant compiles
     warmup_s = time.time() - t0 + prewarm_s
 
     t0 = time.time()
-    results = run_once(engine, big)
+    results = run_once(engine, big, nthreads)
     tpu_s = time.time() - t0
     n_blocks = len(results)
     tpu_bps = n_blocks / tpu_s
@@ -110,7 +114,7 @@ def main() -> int:
         gfa_in=REF_GFA, smoothed_out=os.path.join(tmp, "drb1.gfa"),
         n_haps=12, max_path_jump=5000, max_edge_jump=5000,
         poa_length_targets=[700], use_sgd=True, add_consensus=True,
-        engine=engine, tmp_base=tmp,
+        engine=engine, tmp_base=tmp, threads=nthreads,
     )
     t0 = time.time()
     run_smoothing(cfg)

@@ -102,21 +102,54 @@ def poa_block(seqs: list[np.ndarray], p: POAParams,
     return base[:V], ring[:V], order[:V], paths[:int(seq_off[-1])], seq_off
 
 
-class NativePOAEngine:
-    """Block-level engine backed by native/cpoa.cpp (single thread)."""
+def _pool_block(args):
+    """Process-pool worker: native POA + rehydrate for one block.  Runs in
+    a spawn worker (JAX pinned to cpu by utils.procpool), so it can never
+    touch the single-client TPU tunnel."""
+    seqs, weights, params, ring_cap = args
+    base, ring, order, flat, off = poa_block(list(seqs), params, ring_cap)
+    paths = [flat[off[i]:off[i + 1]].tolist() for i in range(len(seqs))]
+    return rehydrate(base, ring, [int(v) for v in order], paths,
+                     list(weights))
 
-    def __init__(self, ring_cap: int = RING_CAP):
+
+class NativePOAEngine:
+    """Block-level engine backed by native/cpoa.cpp.
+
+    threads=1 is the honest single-thread CPU baseline; threads>1 fans
+    blocks out over the host process pool (the TPU engine uses this for
+    its fallback/redo path, mirroring the reference's OMP-over-blocks
+    loop, src/smooth.cpp:1904)."""
+
+    def __init__(self, ring_cap: int = RING_CAP, threads: int = 1):
         if not available():
             raise RuntimeError("libcpoa.so unavailable (native build failed)")
         self.ring_cap = ring_cap
+        self.threads = threads
 
     def poa_block_batch(self, blocks):
+        futs = self.poa_block_batch_async(blocks)
+        return [f() for f in futs]
+
+    def poa_block_batch_async(self, blocks):
+        """Returns a list of zero-arg callables resolving to POAGraphs.
+        With threads>1 the work is already in flight on the pool when this
+        returns, so the caller can overlap it with device decode."""
+        if self.threads > 1 and len(blocks) >= 2:
+            from ..utils.procpool import get_pool
+            pool = get_pool(self.threads)
+            futs = [pool.submit(_pool_block,
+                                (list(seqs), list(weights), params,
+                                 self.ring_cap))
+                    for seqs, weights, params in blocks]
+            return [f.result for f in futs]
         out = []
         for seqs, weights, params in blocks:
             r = poa_block(list(seqs), params, self.ring_cap)
             base, ring, order, flat, off = r
             paths = [flat[off[i]:off[i + 1]].tolist()
                      for i in range(len(seqs))]
-            out.append(rehydrate(base, ring, [int(v) for v in order],
-                                 paths, list(weights)))
+            g = rehydrate(base, ring, [int(v) for v in order],
+                          paths, list(weights))
+            out.append(lambda g=g: g)
         return out

@@ -143,6 +143,10 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             r = pltpu.roll(x, k, axis=1)
             return jnp.where(lanef >= k, r, NEG16)
 
+        subf2 = jax.lax.broadcasted_iota(DT, (2 * FOLD, LANES), 0)
+        lanef2 = jax.lax.broadcasted_iota(DT, (2 * FOLD, LANES), 1)
+        subf2h = subf2 % FOLD          # row index within each stacked half
+
         def cummax_f(x):
             """Prefix max over folded columns."""
             k = 1
@@ -159,6 +163,31 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                                   NEG16))
                 k *= 2
             return jnp.maximum(x, ex)
+
+        def cummax2_f(x, y):
+            """Prefix max of TWO independent rows in ONE stacked
+            (2*FOLD, LANES) chain: each shift-max step costs ~34ns of
+            issue overhead regardless of tile size, so one double-height
+            chain halves the step count vs two chains.  The fold-prefix
+            masks use subf2h (= row % FOLD) so it never crosses the
+            boundary between the halves."""
+            s = jnp.concatenate([x, y], axis=0)
+            k = 1
+            while k < LANES:
+                r = pltpu.roll(s, k, axis=1)
+                s = jnp.maximum(s, jnp.where(lanef2 >= k, r, NEG16))
+                k *= 2
+            rm = jnp.broadcast_to(jnp.max(s, axis=1, keepdims=True),
+                                  (2 * FOLD, LANES))
+            ex = jnp.where(subf2h >= 1, pltpu.roll(rm, 1, axis=0), NEG16)
+            k = 1
+            while k < FOLD:
+                ex = jnp.maximum(
+                    ex, jnp.where(subf2h >= k, pltpu.roll(ex, k, axis=0),
+                                  NEG16))
+                k *= 2
+            s = jnp.maximum(s, ex)
+            return s[:FOLD, :], s[FOLD:, :]
 
         lanefr = jax.lax.broadcasted_iota(DT, (1, LANES), 1)
 
@@ -314,9 +343,13 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                             jnp.where(uh, p, hs), jnp.where(u1, p, e1s),
                             jnp.where(u2, p, e2s))
 
-                hmax, e1mx, e2mx, hs, e1s, e2s = jax.lax.fori_loop(
-                    0, jnp.maximum(np_, 1), ploop,
-                    (NEGROW, NEGROW, NEGROW, ZROW, ZROW, ZROW))
+                if stage == 7:     # ablation: ploop cost by difference
+                    hmax, e1mx, e2mx, hs, e1s, e2s = (
+                        NEGROW + np_, NEGROW, NEGROW, ZROW, ZROW, ZROW)
+                else:
+                    hmax, e1mx, e2mx, hs, e1s, e2s = jax.lax.fori_loop(
+                        0, jnp.maximum(np_, 1), ploop,
+                        (NEGROW, NEGROW, NEGROW, ZROW, ZROW, ZROW))
                 sub = jnp.where(seqv32 == base_v, m, -n)
                 M = fshift1(hmax, NEG16) + sub
                 mslotr = fshift1(hs, 0)
@@ -346,26 +379,34 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                     hq = jnp.where(bandm, hq, NEG16)
                     e1r = jnp.where(bandm, e1r, NEG16)
                     e2r = jnp.where(bandm, e2r, NEG16)
-                g1in = hq + ej
-                G1 = cummax_f(g1in)
-                f1new = g1in == G1
-                F1 = fshift1(G1, NEG16) - g - ej + e
-                g2in = hq + cj
-                G2 = cummax_f(g2in)
-                f2new = g2in == G2
-                F2 = fshift1(G2, NEG16) - q - cj + c
-                Hrow = jnp.maximum(hq, jnp.maximum(F1, F2))
+                if stage == 5:     # ablation: cummax/F cost by difference
+                    f1new = hq == hq
+                    f2new = f1new
+                    Hrow = hq
+                    F1 = hq
+                    F2 = hq
+                else:
+                    g1in = hq + ej
+                    g2in = hq + cj
+                    G1, G2 = cummax2_f(g1in, g2in)
+                    f1new = g1in == G1
+                    F1 = fshift1(G1, NEG16) - g - ej + e
+                    f2new = g2in == G2
+                    F2 = fshift1(G2, NEG16) - q - cj + c
+                    Hrow = jnp.maximum(hq, jnp.maximum(F1, F2))
                 if banded:
                     Hrow = jnp.where(bandm, Hrow, NEG16)
                 HH[pl.ds(FOLD * (v + 1), FOLD), :] = pack2(Hrow, hq).astype(DT)
                 EE[pl.ds(FOLD * (v + 1), FOLD), :] = pack2(e1r, e2r).astype(DT)
-                code = (mslotr | (e1slotr << 7) | (b1(e1o) << 14)
-                        | (e2slotr << 15) | (b1(e2o) << 22)
-                        | (hqselr << 23) | (b1(hq == Hrow) << 25)
-                        | (b1(F1 == Hrow) << 26) | (b1(F2 == Hrow) << 27)
-                        | (b1(f1new) << 28) | (b1(f2new) << 29)
-                        | (hqz << 30))
-                CC[pl.ds(FOLD * (v + 1), FOLD), :] = code
+                if stage != 6:     # ablation 6: code compute+write cost
+                    code = (mslotr | (e1slotr << 7) | (b1(e1o) << 14)
+                            | (e2slotr << 15) | (b1(e2o) << 22)
+                            | (hqselr << 23) | (b1(hq == Hrow) << 25)
+                            | (b1(F1 == Hrow) << 26)
+                            | (b1(F2 == Hrow) << 27)
+                            | (b1(f1new) << 28) | (b1(f2new) << 29)
+                            | (hqz << 30))
+                    CC[pl.ds(FOLD * (v + 1), FOLD), :] = code
                 if local:
                     Hm = jnp.where(colmask, Hrow, NEG16)
                     upd = Hm > bvec
@@ -509,7 +550,7 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
             done0 = (bv <= 0) if local else jnp.bool_(False)
             done0 = done0 | (L == 0)
-            if stage == 1:
+            if stage == 1 or stage >= 5:
                 tb_bad = jnp.bool_(False)
             else:
                 st = jax.lax.while_loop(
@@ -518,7 +559,7 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                      jnp.bool_(False)))
                 tb_bad = st[5] | (~st[3])     # bad chase or iteration overrun
 
-            if stage in (1, 2):
+            if stage in (1, 2) or stage >= 5:
                 return (head, Vc, ovf | tb_bad)
 
             # ---- threading ----
@@ -885,7 +926,8 @@ class FusedPallasEngine:
 
     def __init__(self, max_seqs: int = 48, max_batch: int = 64,
                  shape: tuple = SHAPE, interpret: bool = False,
-                 validate: bool = True, devices: int | None = None):
+                 validate: bool = True, devices: int | None = None,
+                 threads: int = 1):
         from . import poa_native
         from .poa_fused import FusedHostEngine
         self.VW, self.LW = shape
@@ -893,6 +935,7 @@ class FusedPallasEngine:
         self.max_batch = max_batch
         self.interpret = interpret
         self.validate = validate
+        self.threads = threads
         if devices is None:
             try:
                 import jax
@@ -901,7 +944,7 @@ class FusedPallasEngine:
                 devices = 1
         self.n_dev = max(1, devices)
         if poa_native.available():
-            self.fallback = poa_native.NativePOAEngine()
+            self.fallback = poa_native.NativePOAEngine(threads=threads)
         else:                    # pragma: no cover - native always builds
             self.fallback = FusedHostEngine()
         self.calls = 0
@@ -988,12 +1031,18 @@ class FusedPallasEngine:
         for idxs in dev.values():
             for s in range(0, len(idxs), cap):
                 handles.append(self._launch(blocks, idxs[s:s + cap]))
-        # fallback blocks compute on host (native C++) while the device runs
-        if fb:
-            fb_res = self.fallback.poa_block_batch([blocks[i] for i in fb])
-            for i, g in zip(fb, fb_res):
-                results[i] = g
+        # fallback blocks compute on host (native C++, pooled when
+        # threads>1) while the device runs
+        def _async(idxs):
+            batch = [blocks[i] for i in idxs]
+            if hasattr(self.fallback, "poa_block_batch_async"):
+                return self.fallback.poa_block_batch_async(batch)
+            res = self.fallback.poa_block_batch(batch)
+            return [lambda g=g: g for g in res]
+
+        fb_futs = _async(fb) if fb else []
         redo: list[int] = []
+        redo_futs: list = []
         import time as _time
         for chunk, meta, exp, paths in handles:
             t0 = _time.perf_counter()
@@ -1013,11 +1062,17 @@ class FusedPallasEngine:
             else:                    # full (B, RW*LWr, 128) planes
                 paths = paths.reshape(paths.shape[0], self.RW, self.LW)
             self.device_s += _time.perf_counter() - t0
+            # kick overflow redos onto the pool NOW so they overlap the
+            # remaining handles' device wait + decode
+            h_redo = [i for b, i in enumerate(chunk)
+                      if meta[b, 1] != 0 or int(meta[b, 0]) > self.VW]
+            if h_redo:
+                redo.extend(h_redo)
+                redo_futs.extend(_async(h_redo))
             for b, i in enumerate(chunk):
                 seqs, weights, params = blocks[i]
                 V = int(meta[b, 0])
                 if meta[b, 1] != 0 or V > self.VW:
-                    redo.append(i)
                     continue
                 planes = exp[b]
                 # decode compact codes back to raw bytes (same sorted-
@@ -1043,11 +1098,11 @@ class FusedPallasEngine:
                                        [int(v) for v in order],
                                        blk_paths, list(weights))
                 self.device_blocks += 1
-        if redo:
-            self.redo += len(redo)
-            rd = self.fallback.poa_block_batch([blocks[i] for i in redo])
-            for i, g in zip(redo, rd):
-                results[i] = g
+        for i, f in zip(fb, fb_futs):
+            results[i] = f()
+        self.redo += len(redo)
+        for i, f in zip(redo, redo_futs):
+            results[i] = f()
         return results
 
     def _launch(self, blocks, chunk):

@@ -105,3 +105,18 @@ def test_native_banded_random_indels(local):
         del s[pos:pos + int(rng.integers(1, 6))]
         seqs.append("".join(s))
     assert_parity(seqs, POAParams(local=local, wb=311))
+
+
+def test_native_engine_pooled_matches_serial():
+    """threads>1 fans blocks over the process pool; results must be
+    identical to the serial engine."""
+    p = POAParams(local=True)
+    blocks = [([encode_seq(s) for s in seqs], [1] * len(seqs), p)
+              for seqs in CASES[:4]]
+    serial = poa_native.NativePOAEngine().poa_block_batch(blocks)
+    pooled = poa_native.NativePOAEngine(threads=2).poa_block_batch(blocks)
+    for a, b in zip(serial, pooled):
+        assert a.base == b.base
+        assert a.seq_paths == b.seq_paths
+        assert a.group == b.group
+        assert a.consensus_path() == b.consensus_path()
