@@ -905,6 +905,25 @@ def _exp_slicer(VWr: int, vr: int):
     return jax.jit(f)
 
 
+def rehydrate_device_raw(seqs, weights, payload, validate: bool = True):
+    """Build a POAGraph from a "raw" poa_block_batch_iter payload.
+    Module-level so finalize pool workers can run it off the main
+    process."""
+    from .poa_fused import rehydrate
+    base, ring, order, blk_paths = payload
+    if validate:
+        # fail fast on any kernel bug: every path must spell its sequence
+        V = len(base)
+        for s, pth in zip(seqs, blk_paths):
+            pa = np.asarray(pth)
+            if (pa.min(initial=0) < 0 or pa.max(initial=-1) >= V or
+                    not np.array_equal(base[pa], np.asarray(s, np.int32))):
+                raise RuntimeError(
+                    "fused kernel produced an invalid path")
+    return rehydrate(base, ring, [int(v) for v in order], blk_paths,
+                     list(weights))
+
+
 class FusedPallasEngine:
     """Block-level device engine: ONE dispatch per batch of blocks.
 
@@ -1012,10 +1031,24 @@ class FusedPallasEngine:
         return True
 
     def poa_block_batch(self, blocks):
-        from .poa_fused import rehydrate
-        import jax.numpy as jnp
-
         results = [None] * len(blocks)
+        for i, kind, payload in self.poa_block_batch_iter(blocks):
+            if kind == "graph":
+                results[i] = payload
+            else:
+                seqs, weights, _ = blocks[i]
+                results[i] = rehydrate_device_raw(seqs, weights, payload,
+                                                  self.validate)
+        return results
+
+    def poa_block_batch_iter(self, blocks):
+        """Lazy engine: yields (index, kind, payload) as results arrive —
+        kind "raw" = (base, ring, order, blk_paths) device output (caller
+        rehydrates+validates via rehydrate_device_raw, possibly in a pool
+        worker), kind "graph" = finished POAGraph (host fallback /
+        overflow redo).  All device chunks are dispatched up front, so
+        work done while consuming a yield overlaps the remaining chunks'
+        device execution."""
         # keyed by (params.local, banded) — each is a separate kernel
         # variant (banded adds the rank prepass + band mask)
         dev: dict[tuple, list[int]] = {}
@@ -1082,28 +1115,13 @@ class FusedPallasEngine:
                 order = planes[2, :V]
                 blk_paths = [paths[b, r, :len(s)].tolist()
                              for r, s in enumerate(seqs)]
-                if self.validate:
-                    # fail fast on any kernel bug: every path must spell
-                    # its sequence exactly
-                    for s, pth in zip(seqs, blk_paths):
-                        pa = np.asarray(pth)
-                        if (pa.min(initial=0) < 0 or
-                                pa.max(initial=-1) >= V or
-                                not np.array_equal(base[pa],
-                                                   np.asarray(s, np.int32))):
-                            raise RuntimeError(
-                                "fused kernel produced an invalid path "
-                                f"(block {i})")
-                results[i] = rehydrate(base, ring,
-                                       [int(v) for v in order],
-                                       blk_paths, list(weights))
                 self.device_blocks += 1
+                yield i, "raw", (base, ring, order, blk_paths)
         for i, f in zip(fb, fb_futs):
-            results[i] = f()
+            yield i, "graph", f()
         self.redo += len(redo)
         for i, f in zip(redo, redo_futs):
-            results[i] = f()
-        return results
+            yield i, "graph", f()
 
     def _launch(self, blocks, chunk):
         import jax.numpy as jnp

@@ -232,6 +232,16 @@ def smooth_blocks(
         # block-fused engine: the whole multi-round POA loop of every block
         # runs in the engine (ONE device dispatch per block batch for the
         # fused Pallas kernel) and comes back as final POA graphs
+        if (threads > 1 and len(states) >= 2 * threads
+                and hasattr(engine, "poa_block_batch_iter")):
+            # pipelined: rehydrate+finalize each device chunk on the host
+            # pool while later chunks still execute on the device — total
+            # approaches max(device time, host time) instead of their sum
+            results = _smooth_fused_pipelined(
+                idx, engine, states, enc, consensus_base_name, produce_maf,
+                threads)
+            return _finish_tail(states, results, collect_stats, graph_cache,
+                                write_poa_blocks_ms, fasta_dir, max_rounds)
         t0 = _time.perf_counter()
         graphs = engine.poa_block_batch(
             [(es, st.weights, st.params) for st, es in zip(states, enc)])
@@ -324,6 +334,74 @@ def _finalize_chunk(idx_ver: int, idx_bytes: bytes, sts: list,
                             produce_maf) for st in sts]
 
 
+def _finalize_chunk_raw(idx_ver: int, idx_bytes: bytes, items: list,
+                        add_consensus: bool, consensus_base_name: str,
+                        produce_maf: bool) -> list:
+    """Pool worker for the pipelined fused path: rehydrate the engine's
+    raw device payload (or accept a finished fallback graph), then
+    finalize — all off the main process."""
+    global _W_IDX_VER, _W_IDX
+    if _W_IDX_VER != idx_ver:
+        import pickle
+        _W_IDX = pickle.loads(idx_bytes)
+        _W_IDX_VER = idx_ver
+    from ..ops.poa_pallas_fused import rehydrate_device_raw
+    out = []
+    for st, kind, payload, enc_seqs, validate in items:
+        if kind == "graph":
+            st.graph = payload
+        else:
+            st.graph = rehydrate_device_raw(enc_seqs, st.weights, payload,
+                                            validate)
+        out.append(_finalize_block(_W_IDX, st, add_consensus,
+                                   consensus_base_name, produce_maf))
+    return out
+
+
+def _smooth_fused_pipelined(idx, engine, states, enc, consensus_base_name,
+                            produce_maf, threads) -> list:
+    """Consume the fused engine's chunk iterator, shipping each result to
+    the finalize pool as it lands; later device chunks keep executing
+    while earlier ones rehydrate+finalize on the pool."""
+    import pickle
+    import time as _time
+    from ..utils.procpool import get_pool
+    global _IDX_SEQ
+    _IDX_SEQ += 1
+    idx_bytes = pickle.dumps(idx)
+    pool = get_pool(threads)
+    add_consensus = bool(consensus_base_name)
+    validate = getattr(engine, "validate", True)
+    inp = [(es, st.weights, st.params) for st, es in zip(states, enc)]
+    t0 = _time.perf_counter()
+    futs: list = []
+    buf: list = []
+    bidx: list = []
+
+    def flush():
+        nonlocal buf, bidx
+        if buf:
+            futs.append((bidx, pool.submit(
+                _finalize_chunk_raw, _IDX_SEQ, idx_bytes, buf,
+                add_consensus, consensus_base_name, produce_maf)))
+            buf, bidx = [], []
+
+    for i, kind, payload in engine.poa_block_batch_iter(inp):
+        buf.append((states[i], kind, payload, enc[i], validate))
+        bidx.append(i)
+        if len(buf) >= 8:
+            flush()
+    flush()
+    results: list = [None] * len(states)
+    for idxs, f in futs:
+        for i, res in zip(idxs, f.result()):
+            results[i] = res
+    ms_each = (_time.perf_counter() - t0) * 1e3 / max(len(states), 1)
+    for st in states:
+        st.poa_ms = ms_each
+    return results
+
+
 def _finish_blocks(idx, states, consensus_base_name, produce_maf,
                    collect_stats, write_poa_blocks_ms, fasta_dir,
                    graph_cache, max_rounds, threads=1) -> list[BlockResult]:
@@ -346,6 +424,12 @@ def _finish_blocks(idx, states, consensus_base_name, produce_maf,
                             produce_maf)
             for st in states
         ]
+    return _finish_tail(states, results, collect_stats, graph_cache,
+                        write_poa_blocks_ms, fasta_dir, max_rounds)
+
+
+def _finish_tail(states, results, collect_stats, graph_cache,
+                 write_poa_blocks_ms, fasta_dir, max_rounds):
     if collect_stats:
         for st, res in zip(states, results):
             res.stats = _block_stats(st, res)

@@ -67,3 +67,22 @@ def test_parallel_finalize_matches_serial(drb1_idx):
     serial = smooth_blocks(drb1_idx, bs, threads=1, **kw)
     par = smooth_blocks(drb1_idx, bs, threads=4, **kw)
     assert _sig(serial) == _sig(par)
+
+
+@pytest.mark.slow
+def test_pipelined_fused_matches_serial(drb1_idx):
+    """The fused engine's pipelined chunk-iterator path (threads>1) must
+    produce block results identical to its serial poa_block_batch path."""
+    from smoothxg_tpu.ops.poa_pallas_fused import FusedPallasEngine
+    bs, _ = _blockset(drb1_idx)
+    bs = break_blocks(drb1_idx, bs, max_poa_length=1400)
+    kw = dict(params=POAParams(local=True), consensus_base_name="c",
+              produce_maf=True)
+    serial = smooth_blocks(
+        drb1_idx, bs, threads=1,
+        engine=FusedPallasEngine(interpret=True, max_batch=4), **kw)
+    par = smooth_blocks(
+        drb1_idx, bs, threads=2,
+        engine=FusedPallasEngine(interpret=True, max_batch=4, threads=2),
+        **kw)
+    assert _sig(serial) == _sig(par)
