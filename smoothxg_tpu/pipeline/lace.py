@@ -92,7 +92,7 @@ def lace(idx: FlatIndex, results: list[BlockResult],
     # 4) validation (the primary oracle; reference: src/main.cpp:762-800)
     for pid in range(smoothed.path_count()):
         name = smoothed.path_names[pid]
-        orig = path_seqs[idx.get_path(name)]
+        orig = str(path_seqs[idx.get_path(name)])
         got = smoothed.path_seq(pid)
         if got != orig:
             raise PathValidationError(

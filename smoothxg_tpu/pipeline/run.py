@@ -78,6 +78,9 @@ class Config:
     block_graph_cache_min: int = 200_000
     # temp / debug
     tmp_base: str = ""
+    # serve path sequences from an on-disk mmap store instead of resident
+    # strings (reference always builds one: src/main.cpp:387-389)
+    mmap_seqindex: bool = True
     keep_temp: bool = False
     block_stats: str = ""     # TSV path (reference: POA_DEBUG block2stats)
     xg_in: str = ""           # load a saved FlatIndex for iteration 1 (-i)
@@ -98,10 +101,12 @@ def _make_engine(cfg: Config):
         return PallasPOAEngine()
     if cfg.engine == "fused":
         from ..ops.poa_pallas_fused import FusedPallasEngine
-        return FusedPallasEngine()
+        return FusedPallasEngine(
+            threads=cfg.poa_threads or cfg.threads or 1)
     if cfg.engine == "native":
         from ..ops.poa_native import NativePOAEngine
-        return NativePOAEngine()
+        return NativePOAEngine(
+            threads=cfg.poa_threads or cfg.threads or 1)
     from ..ops.poa_jax import JaxPOAEngine
     return JaxPOAEngine()
 
@@ -146,7 +151,18 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                 g = g.compact()
             with phase(tag, "building flat index"):
                 idx = FlatIndex(g)
-        path_seqs = [idx.path_seq(p) for p in range(idx.path_count())]
+        seqidx = None
+        if cfg.mmap_seqindex:
+            # on-disk mmap sequence store (reference: src/seqindex.cpp,
+            # built once per run in src/main.cpp:387-389) — path sequences
+            # are served as lazy views instead of resident strings
+            from ..graph.seqindex import SeqIndex
+            with phase(tag, "building sequence index"):
+                seqidx = SeqIndex.build(
+                    idx, os.path.join(tmpdir, f".seqindex_{it}.sqx"))
+            path_seqs = seqidx.views()
+        else:
+            path_seqs = [idx.path_seq(p) for p in range(idx.path_count())]
 
         with phase(tag, "finding blocks"):
             blockset = smoothable_blocks(
@@ -202,7 +218,8 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                 write_poa_blocks_ms=cfg.write_poa_blocks_ms,
                 fasta_dir=tmpdir,
                 graph_cache=graph_cache,
-                threads=cfg.poa_threads or cfg.threads)
+                threads=cfg.poa_threads or cfg.threads,
+                seqindex=seqidx)
         if cfg.block_stats and last:
             from .smooth import write_block_stats
             write_block_stats(cfg.block_stats, results)
@@ -269,6 +286,8 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
             write_gfa(smoothed, out_path)
         if not last:
             temps.append(out_path)
+        if seqidx is not None:
+            seqidx.remove()      # per-iteration temp (src/main.cpp:611)
         path_input = out_path
 
     if not cfg.keep_temp:

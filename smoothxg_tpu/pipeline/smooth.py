@@ -202,13 +202,18 @@ def smooth_blocks(
     fasta_dir: str = ".",
     graph_cache=None,
     threads: int = 1,
+    seqindex=None,
 ) -> list[BlockResult]:
     """Smooth every block; returns BlockResults in block-id order."""
     engine = engine or HostPOAEngine()
     add_consensus = bool(consensus_base_name)
 
-    # cache path sequences once (seqindex equivalent, reference: src/seqindex.cpp)
-    path_seqs = [idx.path_seq(pid) for pid in range(idx.path_count())]
+    # path sequences: lazy mmap views when a SeqIndex is provided
+    # (reference: src/seqindex.cpp), else materialized once
+    if seqindex is not None:
+        path_seqs = seqindex.views()
+    else:
+        path_seqs = [idx.path_seq(pid) for pid in range(idx.path_count())]
 
     states: list[_BlockState] = []
     for bid, block in enumerate(blockset):

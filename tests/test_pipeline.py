@@ -92,3 +92,41 @@ def test_wfa_mismatch_and_gap():
 def test_wfa_bound():
     score, cigar = wfa_align("AAAAAAAA", "TTTTTTTT", max_score=10)
     assert score is None
+
+
+def test_autocorr_matches_reference_on_drb1(drb1_path):
+    """Fidelity on real data (VERDICT weak #8): the reference's 3-iteration
+    DRB1 run reports '0 had repeats' for every cut block (sautocorr finds
+    no VNTR period at z>=5 on these sequences, src/breaks.cpp:229-239).
+    Run our autocorrelation over exactly the per-range sequences the
+    breaker would screen and assert the same negative result; a planted
+    period-997 tandem appended to a DRB1 sequence must still be caught."""
+    import numpy as np
+    from smoothxg_tpu.graph.index import FlatIndex
+    from smoothxg_tpu.io.gfa import read_gfa
+    from smoothxg_tpu.pipeline.blocks import smoothable_blocks
+    from smoothxg_tpu.pipeline.prep import prep
+
+    g = read_gfa(drb1_path)
+    g = prep(g, 100, use_sgd=False)
+    idx = FlatIndex(g)
+    bs = smoothable_blocks(idx, 700 * 12, 700, 5000, 5000)
+    screened = 0
+    for block in bs:
+        for pr in block.path_ranges:
+            if pr.length < 2 * 1000:       # min_copy_length gate
+                continue
+            seq = idx.range_seq(pr.pid, pr.begin, pr.end)
+            r = repeat(seq, 1000, 20000, min_z=5.0, stride=50)
+            assert r.length == 0.0, \
+                f"false VNTR at lag {r.length} (z={r.z_score})"
+            screened += 1
+    assert screened > 0                    # the gate actually fired
+    # positive control on the same data: DRB1 sequence + planted tandem
+    long_seq = max((idx.path_seq(p) for p in range(idx.path_count())),
+                   key=len)
+    unit = long_seq[:997]
+    planted = unit * 8
+    r = repeat(planted, 500, 5000, min_z=5.0, stride=7)
+    assert r.length > 0
+    assert abs(r.length % 997) < 50 or abs(997 - (r.length % 997)) < 50
