@@ -198,26 +198,36 @@ class FlatIndex:
     def rev_bp_in_window(self, pid: int, a: int, b: int) -> tuple[int, int]:
         """(fwd_bp, rev_bp) of path positions [a, b) by step orientation
         (used for block strand normalization, reference: src/smooth.cpp:70-128
-        fwd_bp/rev_bp accounting)."""
+        fwd_bp/rev_bp accounting).  O(log steps): interior steps come from
+        a lazily-built prefix sum of reverse bp; only the two boundary
+        steps are handled individually."""
         a = max(a, 0)
         b = min(b, int(self.path_len[pid]))
         if b <= a:
             return 0, 0
         pos = self.path_pos[pid]
         steps = self.path_steps[pid]
+        if not hasattr(self, "_revcum") or self._revcum is None:
+            self._revcum = [None] * self.path_count()
+        rc = self._revcum[pid]
+        if rc is None:
+            lens = np.diff(np.asarray(pos, dtype=np.int64))
+            rev_steps = (np.asarray(steps, dtype=np.int64) & 1) == 1
+            rc = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(np.where(rev_steps, lens, 0), out=rc[1:])
+            self._revcum[pid] = rc
         lo = int(np.searchsorted(pos, a, side="right")) - 1
         hi = int(np.searchsorted(pos, b, side="left"))
-        fwd = rev = 0
-        for r in range(lo, hi):
-            s0, s1 = int(pos[r]), int(pos[r + 1])
-            ov = min(b, s1) - max(a, s0)
-            if ov <= 0:
-                continue
-            if int(steps[r]) & 1:
-                rev += ov
-            else:
-                fwd += ov
-        return fwd, rev
+
+        def partial(r):
+            ov = min(b, int(pos[r + 1])) - max(a, int(pos[r]))
+            return ov if (ov > 0 and int(steps[r]) & 1) else 0
+
+        if hi - lo <= 2:
+            rev = sum(partial(r) for r in range(lo, hi))
+        else:
+            rev = int(rc[hi - 1] - rc[lo + 1]) + partial(lo) + partial(hi - 1)
+        return (b - a) - rev, rev
 
     # ---- range helpers ----
     def range_seq(self, pid: int, begin: int, end: int) -> str:

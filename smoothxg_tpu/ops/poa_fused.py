@@ -248,7 +248,7 @@ def rehydrate(base: np.ndarray, ring: np.ndarray, order: list[int],
                 g.edge_w[(u, v)] = int(wsum[pos])
                 g.succs[u].append(v)
                 g.preds[v].append(u)
-    g.seq_paths = [list(p) for p in paths]
+    g.seq_paths = [np.asarray(p, dtype=np.int64).tolist() for p in paths]
     g.seq_weights = list(weights)
     g._topo = list(order)
     return g

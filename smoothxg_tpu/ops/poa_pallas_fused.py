@@ -1087,9 +1087,8 @@ class FusedPallasEngine:
             vr = min(vr, VWr)
             if vr < VWr:
                 exp = _exp_slicer(VWr, vr)(exp)
-            exp = np.asarray(exp).astype(np.int32).reshape(
-                len(meta), 3, -1)
-            paths = np.asarray(paths).astype(np.int32)
+            exp = np.asarray(exp).reshape(len(meta), 3, -1)
+            paths = np.asarray(paths)
             if paths.ndim == 4:      # sliced (B, rcap, lcapr, 128) planes
                 paths = paths.reshape(paths.shape[0], paths.shape[1], -1)
             else:                    # full (B, RW*LWr, 128) planes
@@ -1113,8 +1112,10 @@ class FusedPallasEngine:
                 base = self._alphabet(seqs)[planes[0, :V]].astype(np.int32)
                 ring = planes[1, :V]
                 order = planes[2, :V]
-                blk_paths = [paths[b, r, :len(s)].tolist()
-                             for r, s in enumerate(seqs)]
+                # ship numpy slices, not python lists: the pipelined path
+                # pickles payloads to pool workers and list-of-int is ~10x
+                # the bytes and cost of an int16 array
+                blk_paths = [paths[b, r, :len(s)] for r, s in enumerate(seqs)]
                 self.device_blocks += 1
                 yield i, "raw", (base, ring, order, blk_paths)
         for i, f in zip(fb, fb_futs):
