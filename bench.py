@@ -108,6 +108,24 @@ def main() -> int:
     numpy_bps = len(bs.blocks) / (time.time() - t0)
     cpu_bps = native_bps if native_bps is not None else numpy_bps
 
+    # default-flags configuration (-l 4000, the reference's default
+    # poa-length-target): blocks exceed the device tier's L<=2047 and run
+    # on the pooled native engine by design (docs/DESIGN.md long-block
+    # policy — no VMEM-valid device shape exists for L>=4000 since
+    # V >= L0); reported transparently
+    bs4k = smoothable_blocks(idx, 4000 * 12, 4000, 100, 0)
+    bs4k = break_blocks(idx, bs4k, max_poa_length=8000)
+    d0, f0 = engine.device_blocks, engine.fallbacks
+    t0 = time.time()
+    run_once(engine, bs4k, nthreads)
+    l4k_s = time.time() - t0
+    extras.update({
+        "default_l4000_blocks": len(bs4k.blocks),
+        "default_l4000_s": round(l4k_s, 2),
+        "default_l4000_device_blocks": engine.device_blocks - d0,
+        "default_l4000_native_blocks": engine.fallbacks - f0,
+    })
+
     # warm 1-iteration end-to-end (engine shapes already compiled)
     tmp = tempfile.mkdtemp(prefix="smoothxg_bench_")
     cfg = Config(

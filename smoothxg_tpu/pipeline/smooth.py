@@ -215,7 +215,7 @@ def smooth_blocks(
     else:
         path_seqs = [idx.path_seq(pid) for pid in range(idx.path_count())]
 
-    states: list[_BlockState] = []
+    prepped = []
     for bid, block in enumerate(blockset):
         pad = _block_padding(idx, block.path_ranges, padding_fraction,
                              max_block_depth_for_padding_more)
@@ -223,9 +223,22 @@ def smooth_blocks(
         if adaptive_poa_params:
             p = _adaptive_params(idx, block.path_ranges, params, kmer_size,
                                  max_block_depth_for_padding_more)
-        st = _extract_block(idx, path_seqs, block, bid, pad, p)
+        prepped.append((bid, block, pad, p))
+    if threads > 1 and len(prepped) >= 2 * threads:
+        # pooled extraction (reference: the block loop body up to seq
+        # collection runs inside the OMP task, src/smooth.cpp:1904)
+        from ..utils.procpool import chunked, get_pool
+        ver, idx_bytes = _idx_payload(idx)
+        pseqs = seqindex if seqindex is not None else path_seqs
+        pool = get_pool(threads)
+        futs = [pool.submit(_extract_chunk, ver, idx_bytes, pseqs, ch)
+                for ch in chunked(prepped, 4 * threads)]
+        states = [st for f in futs for st in f.result()]
+    else:
+        states = [_extract_block(idx, path_seqs, block, bid, pad, p)
+                  for bid, block, pad, p in prepped]
+    for st in states:
         st.abpoa_mode = abpoa_mode
-        states.append(st)
 
     max_rounds = max((len(st.useqs) for st in states), default=0)
     enc: list[list[np.ndarray]] = [
@@ -319,12 +332,41 @@ def smooth_blocks(
                           graph_cache, max_rounds, threads)
 
 
-# worker-side FlatIndex cache for the finalize pool: the index is pickled
-# once per smooth_blocks call and re-sent with every chunk (bytes re-use
+# worker-side FlatIndex cache for the pool stages: the index is pickled
+# once per FlatIndex object and re-sent with every chunk (bytes re-use
 # makes that a memcpy); workers deserialize only when the version changes
 _W_IDX_VER: int | None = None
 _W_IDX = None
 _IDX_SEQ = 0
+
+
+def _idx_payload(idx) -> tuple[int, bytes]:
+    """(version, pickled bytes) cached on the index object so extraction,
+    pipelined finalize, and finish share one serialization and workers
+    deserialize once."""
+    global _IDX_SEQ
+    payload = getattr(idx, "_pool_payload", None)
+    if payload is None:
+        import pickle
+        _IDX_SEQ += 1
+        payload = (_IDX_SEQ, pickle.dumps(idx))
+        idx._pool_payload = payload
+    return payload
+
+
+def _extract_chunk(idx_ver: int, idx_bytes: bytes, pseqs, items: list):
+    """Pool worker: extract a chunk of blocks (sequences, strands, dedup).
+    pseqs is either a SeqIndex (re-maps its file on unpickle) or the
+    materialized path string list."""
+    global _W_IDX_VER, _W_IDX
+    if _W_IDX_VER != idx_ver:
+        import pickle
+        _W_IDX = pickle.loads(idx_bytes)
+        _W_IDX_VER = idx_ver
+    if hasattr(pseqs, "views"):
+        pseqs = pseqs.views()
+    return [_extract_block(_W_IDX, pseqs, block, bid, pad, p)
+            for bid, block, pad, p in items]
 
 
 def _finalize_chunk(idx_ver: int, idx_bytes: bytes, sts: list,
@@ -368,12 +410,9 @@ def _smooth_fused_pipelined(idx, engine, states, enc, consensus_base_name,
     """Consume the fused engine's chunk iterator, shipping each result to
     the finalize pool as it lands; later device chunks keep executing
     while earlier ones rehydrate+finalize on the pool."""
-    import pickle
     import time as _time
     from ..utils.procpool import get_pool
-    global _IDX_SEQ
-    _IDX_SEQ += 1
-    idx_bytes = pickle.dumps(idx)
+    ver, idx_bytes = _idx_payload(idx)
     pool = get_pool(threads)
     add_consensus = bool(consensus_base_name)
     validate = getattr(engine, "validate", True)
@@ -387,7 +426,7 @@ def _smooth_fused_pipelined(idx, engine, states, enc, consensus_base_name,
         nonlocal buf, bidx
         if buf:
             futs.append((bidx, pool.submit(
-                _finalize_chunk_raw, _IDX_SEQ, idx_bytes, buf,
+                _finalize_chunk_raw, ver, idx_bytes, buf,
                 add_consensus, consensus_base_name, produce_maf)))
             buf, bidx = [], []
 
@@ -413,13 +452,10 @@ def _finish_blocks(idx, states, consensus_base_name, produce_maf,
     add_consensus = bool(consensus_base_name)
     if threads > 1 and len(states) >= 2 * threads:
         # reference: OMP dynamic loop over blocks (src/smooth.cpp:1904)
-        import pickle
         from ..utils.procpool import chunked, get_pool
-        global _IDX_SEQ
-        _IDX_SEQ += 1
-        idx_bytes = pickle.dumps(idx)
+        ver, idx_bytes = _idx_payload(idx)
         pool = get_pool(threads)
-        futs = [pool.submit(_finalize_chunk, _IDX_SEQ, idx_bytes, chunk,
+        futs = [pool.submit(_finalize_chunk, ver, idx_bytes, chunk,
                             add_consensus, consensus_base_name, produce_maf)
                 for chunk in chunked(states, 4 * threads)]
         results = [res for f in futs for res in f.result()]
