@@ -262,7 +262,7 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
         jax.lax.fori_loop(0, (L0 + 7) // 8, seed_chunk, 0)
 
         # ================= per-sequence rounds =================
-        def round_body(r, carry):
+        def _round_work(r, carry):
             head, Vc, ovf = carry
             L = slen_at(r)
             seqv32 = seqs_r[0, pl.ds(r * FOLD, FOLD), :]   # folded chars
@@ -713,6 +713,14 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
             jax.lax.fori_loop(0, nspl2, spl_body, 0)
             return (head2, Vc2, ovf2)
+
+        def round_body(r, carry):
+            # a block that overflowed (node/pred capacity, traceback
+            # trouble) is redone on host anyway — skip its remaining
+            # rounds instead of filling garbage (a real branch at this
+            # granularity, not predication)
+            return jax.lax.cond(carry[2], lambda c: c,
+                                lambda c: _round_work(r, c), carry)
 
         head, Vc, ovf = jax.lax.fori_loop(
             1, R, round_body, (jnp.int32(0), L0, jnp.bool_(False)))
