@@ -40,24 +40,58 @@ class Block:
 
 
 class Blockset:
-    """In-memory ordered block container (reference: blockset_t,
-    src/blocks.hpp:70-120; the mmap spill layer is unnecessary at current
-    scales but the interface keeps ids explicit for determinism)."""
+    """Ordered block container (reference: blockset_t, src/blocks.hpp:
+    70-120, an mmmulti::set that spills to disk).  In-memory by default;
+    past `spill_threshold` blocks the path-range payload spills to a
+    registered temp file and RAM holds only (offset, length) per block —
+    the pod-scale memory shape of the reference's mmap store."""
 
-    def __init__(self) -> None:
+    SPILL_THRESHOLD = 1 << 20          # blocks; never hit at test scale
+
+    def __init__(self, spill_threshold: int | None = None) -> None:
         self.blocks: list[Block] = []
+        self._thresh = (self.SPILL_THRESHOLD if spill_threshold is None
+                        else spill_threshold)
+        self._spill = None             # open file handle once spilled
+        self._recs: list[tuple[int, int]] = []
+
+    def _spill_block(self, block: Block) -> None:
+        import pickle
+        if self._spill is None:
+            from ..utils import tempfiles
+            self._spill = open(tempfiles.create("blockset"), "wb+")
+            for b in self.blocks:      # migrate the resident prefix
+                pb = pickle.dumps(b.path_ranges)
+                self._recs.append((self._spill.tell(), len(pb)))
+                self._spill.write(pb)
+            self.blocks.clear()
+        pb = pickle.dumps(block.path_ranges)
+        self._recs.append((self._spill.tell(), len(pb)))
+        self._spill.write(pb)
 
     def add_block(self, block: Block) -> None:
-        self.blocks.append(block)
+        if self._spill is not None or \
+                len(self.blocks) >= self._thresh:
+            self._spill_block(block)
+        else:
+            self.blocks.append(block)
 
     def __len__(self) -> int:
-        return len(self.blocks)
+        return len(self._recs) if self._spill is not None \
+            else len(self.blocks)
 
     def get_block(self, i: int) -> Block:
-        return self.blocks[i]
+        if self._spill is None:
+            return self.blocks[i]
+        import pickle
+        off, ln = self._recs[i]
+        self._spill.seek(off)
+        return Block(path_ranges=pickle.loads(self._spill.read(ln)))
 
     def __iter__(self):
-        return iter(self.blocks)
+        if self._spill is None:
+            return iter(self.blocks)
+        return (self.get_block(i) for i in range(len(self._recs)))
 
 
 def smoothable_blocks(

@@ -14,6 +14,8 @@ Reimplements the reference driver's lacing section
 """
 from __future__ import annotations
 
+import numpy as np
+
 from ..graph.index import FlatIndex
 from ..graph.mutable import MutableGraph
 from ..utils.progress import Log
@@ -74,15 +76,14 @@ def lace(idx: FlatIndex, results: list[BlockResult],
         off = id_trans[block_id]
         steps = bg.path_steps[target_rank - 1]
         out_steps = smoothed.path_steps[out_pid]
-        first = True
-        for h in steps:
-            t = ((h >> 1) + off) << 1 | (h & 1)
-            out_steps.append(t)
-            if first:
-                if last_handle is not None:
-                    smoothed.create_edge(last_handle, t)
-                first = False
-        if out_steps:
+        if steps:
+            # vectorized handle translation (reference OMPs this walk,
+            # src/main.cpp:696; one numpy pass per fragment here)
+            sa = np.asarray(steps, dtype=np.int64)
+            ts = (((sa >> 1) + off) << 1) | (sa & 1)
+            if last_handle is not None:
+                smoothed.create_edge(last_handle, int(ts[0]))
+            out_steps.extend(ts.tolist())
             last_handle = out_steps[-1]
         last_end = p1
     if cur_pid is not None and last_end != len(path_seqs[cur_pid]):

@@ -120,6 +120,10 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
     consensus_path_names: list[str] = []
     engine = _make_engine(cfg)
     tmpdir = cfg.tmp_base or os.path.dirname(os.path.abspath(cfg.smoothed_out))
+    # exit-time wipe of intermediates (reference: src/tempfile.cpp static
+    # destructor) — crashes and early exits never leak temps; -K keeps them
+    from ..utils import tempfiles
+    tempfiles.set_dir(tmpdir)
     temps: list[str] = []
 
     if not cfg.max_block_weight and not cfg.n_haps:
@@ -159,7 +163,8 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
             from ..graph.seqindex import SeqIndex
             with phase(tag, "building sequence index"):
                 seqidx = SeqIndex.build(
-                    idx, os.path.join(tmpdir, f".seqindex_{it}.sqx"))
+                    idx, tempfiles.register(
+                        os.path.join(tmpdir, f".seqindex_{it}.sqx")))
             path_seqs = seqidx.views()
         else:
             path_seqs = [idx.path_seq(p) for p in range(idx.path_count())]
@@ -286,8 +291,11 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
             write_gfa(smoothed, out_path)
         if not last:
             temps.append(out_path)
+            if not cfg.keep_temp:
+                tempfiles.register(out_path)
         if seqidx is not None:
             seqidx.remove()      # per-iteration temp (src/main.cpp:611)
+            tempfiles.unregister(seqidx.path)
         path_input = out_path
 
     if not cfg.keep_temp:

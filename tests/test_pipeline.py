@@ -130,3 +130,26 @@ def test_autocorr_matches_reference_on_drb1(drb1_path):
     r = repeat(planted, 500, 5000, min_z=5.0, stride=7)
     assert r.length > 0
     assert abs(r.length % 997) < 50 or abs(997 - (r.length % 997)) < 50
+
+
+def test_blockset_spill_roundtrip(drb1_path):
+    """Past the spill threshold the blockset pages path ranges to a temp
+    file (reference: mmmulti-backed blockset_t, src/blocks.hpp:70-120);
+    iteration and random access must match the in-memory store."""
+    from smoothxg_tpu.graph.index import FlatIndex
+    from smoothxg_tpu.io.gfa import read_gfa
+    from smoothxg_tpu.pipeline.blocks import Blockset, smoothable_blocks
+    from smoothxg_tpu.pipeline.prep import prep
+
+    g = read_gfa(drb1_path)
+    idx = FlatIndex(prep(g, 100, use_sgd=False))
+    bs = smoothable_blocks(idx, 700 * 12, 700, 5000, 5000)
+    mem = list(bs)
+    sp = Blockset(spill_threshold=3)   # forces migration mid-stream
+    for b in mem:
+        sp.add_block(b)
+    assert len(sp) == len(mem)
+    assert sp._spill is not None
+    for i in (0, 2, len(mem) - 1):
+        assert sp.get_block(i).path_ranges == mem[i].path_ranges
+    assert [b.path_ranges for b in sp] == [b.path_ranges for b in mem]
