@@ -35,8 +35,14 @@ def path_sgd_order(
     cooling_start: float = 0.5,
     min_term_updates_factor: float = 1.0,
     seed: int = 9399527, # fnv-ish hash of "pangenomic!"
+    device: str = "auto",
 ) -> list[int]:
-    """Returns node ids ordered by their optimized 1D position."""
+    """Returns node ids ordered by their optimized 1D position.
+
+    device: "auto" routes small graphs (< ~5M terms per iteration) to the
+    local CPU backend — a remote-TPU compile costs minutes per process and
+    only pays off at pod scale — and large graphs to the default backend;
+    "cpu"/"default" force a choice."""
     import jax
     import jax.numpy as jnp
 
@@ -82,21 +88,23 @@ def path_sgd_order(
     # init positions at current vector offsets (node center)
     x0 = np.cumsum(node_len) - node_len / 2.0
 
-    dev_node = jnp.asarray(st_node)
-    dev_pos = jnp.asarray(st_pos, dtype=jnp.float32)
-    dev_start = jnp.asarray(step_path_start)
-    dev_count = jnp.asarray(step_path_count)
-    dev_cdf = jnp.asarray(cdf, dtype=jnp.float32)
+    def _solve():
+      dev_node = jnp.asarray(st_node)
+      dev_pos = jnp.asarray(st_pos, dtype=jnp.float32)
+      dev_start = jnp.asarray(step_path_start)
+      dev_count = jnp.asarray(step_path_count)
+      dev_cdf = jnp.asarray(cdf, dtype=jnp.float32)
 
-    etas = jnp.asarray(eta_max * np.exp(-lam * np.arange(iter_max)),
-                       dtype=jnp.float32)
-    caps = jnp.asarray(
-        [zipf_space if t < iter_max * cooling_start else min(zipf_space, 1000)
-         for t in range(iter_max)], dtype=jnp.int32)
-    n_nodes = n
+      etas = jnp.asarray(eta_max * np.exp(-lam * np.arange(iter_max)),
+                         dtype=jnp.float32)
+      caps = jnp.asarray(
+          [zipf_space if t < iter_max * cooling_start
+           else min(zipf_space, 1000)
+           for t in range(iter_max)], dtype=jnp.int32)
+      n_nodes = n
 
-    @jax.jit
-    def run(x, key):
+      @jax.jit
+      def run(x, key):
         def one_iter(t, carry):
             x, key = carry
             key, k1, k2, k3 = jax.random.split(key, 4)
@@ -137,9 +145,23 @@ def path_sgd_order(
         x, _ = jax.lax.fori_loop(0, iter_max, one_iter, (x, key))
         return x
 
-    x = jnp.asarray(x0, dtype=jnp.float32)
-    key = jax.random.PRNGKey(seed)
-    x = run(x, key)
-    xh = np.asarray(jax.device_get(x), dtype=np.float64)
-    order = np.argsort(xh, kind="stable")
-    return [node_ids[i] for i in order]
+      x = jnp.asarray(x0, dtype=jnp.float32)
+      key = jax.random.PRNGKey(seed)
+      x = run(x, key)
+      xh = np.asarray(jax.device_get(x), dtype=np.float64)
+      order = np.argsort(xh, kind="stable")
+      return [node_ids[i] for i in order]
+
+    # a remote-TPU compile costs minutes per process; route small graphs
+    # to the local CPU backend where the same jit compiles in seconds —
+    # the device only pays off at pod scale (B x iter_max >> 1e8 updates)
+    use_cpu = device == "cpu" or (device == "auto" and B < 5_000_000)
+    if use_cpu:
+        try:
+            cpu_dev = jax.devices("cpu")[0]
+        except RuntimeError:        # pragma: no cover - cpu always exists
+            cpu_dev = None
+        if cpu_dev is not None:
+            with jax.default_device(cpu_dev):
+                return _solve()
+    return _solve()
