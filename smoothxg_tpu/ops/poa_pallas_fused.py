@@ -948,8 +948,8 @@ class FusedPallasEngine:
     # XLA wrapper variants stay cheap, fine enough to cut most of the
     # padded paths-buffer transfer
     RCAPS = (16, 48)
-    LCAPS = (512, 1024, 2048)
-    VRS = (8, 16, 32)
+    LCAPS = (512, 1024, 1536, 2048)
+    VRS = (8, 16, 24, 32)
 
     def __init__(self, max_seqs: int = 48, max_batch: int = 64,
                  shape: tuple = SHAPE, interpret: bool = False,
@@ -1072,6 +1072,15 @@ class FusedPallasEngine:
         for idxs in dev.values():
             for s in range(0, len(idxs), cap):
                 handles.append(self._launch(blocks, idxs[s:s + cap]))
+        # start every handle's D2H as soon as its kernel finishes, so
+        # transfers of chunk k ride behind kernel k+1 instead of
+        # serializing with the decode loop (the tunnel is the slow link)
+        for h in handles:
+            for arr in h[1:]:
+                try:
+                    arr.copy_to_host_async()
+                except (AttributeError, RuntimeError):  # pragma: no cover
+                    break
         # fallback blocks compute on host (native C++, pooled when
         # threads>1) while the device runs
         def _async(idxs):
