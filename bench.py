@@ -32,6 +32,30 @@ REF_GFA = ("/root/reference/test/data/DRB1-3123.fa.gz.pggb-s3000-p70-n10-"
            "a70-K16-k8-w10000-j5000-e5000.seqwish.gfa")
 
 
+def probe_device(timeout_s: float = 240.0, tries: int = 3) -> bool:
+    """Check the TPU backend is reachable without risking a hang.
+
+    A dead axon tunnel makes jax.devices() block forever inside PJRT init
+    (a nanosleep retry loop), so the probe runs in a subprocess with a hard
+    timeout; the bench then fails fast with an honest error line instead of
+    hanging past the driver's budget."""
+    import subprocess
+    for i in range(tries):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                timeout=timeout_s, capture_output=True, text=True)
+            if out.returncode == 0 and out.stdout.strip().isdigit():
+                time.sleep(15)   # single-client tunnel cooldown
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < tries:
+            time.sleep(30)
+    return False
+
+
 def main() -> int:
     from smoothxg_tpu.graph.index import FlatIndex
     from smoothxg_tpu.io.gfa import read_gfa
@@ -47,6 +71,13 @@ def main() -> int:
     from smoothxg_tpu.utils.progress import Log
 
     Log.enabled = os.environ.get("BENCH_VERBOSE", "") != ""
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and not probe_device():
+        print(json.dumps({
+            "metric": "poa_blocks_per_s", "value": 0.0, "unit": "blocks/s",
+            "vs_baseline": 0.0,
+            "error": "axon TPU backend unreachable (tunnel down; "
+                     "jax.devices() hangs in PJRT init)"}))
+        return 1
     ensure_backend()
 
     # ---- build the iteration-1 workload (target 700, the ctest config) ----
@@ -125,6 +156,33 @@ def main() -> int:
         "default_l4000_device_blocks": engine.device_blocks - d0,
         "default_l4000_native_blocks": engine.fallbacks - f0,
     })
+
+    # full ctest-equivalent end-to-end (3 iterations, MAF, 3-spec consensus
+    # graphs) with the native C++ engine, CPU only — the direct
+    # apples-to-apples number against the reference's 25.45 s on a Ryzen
+    # 3700X (test/performance/check.md:5-16).  Runs in a subprocess with
+    # the axon plugin disabled so it cannot contend for the single-client
+    # TPU tunnel this process holds.
+    import subprocess
+    cpu_env = dict(os.environ)
+    cpu_env.pop("PALLAS_AXON_POOL_IPS", None)
+    cpu_env["JAX_PLATFORMS"] = "cpu"
+    ctest_dir = tempfile.mkdtemp(prefix="smoothxg_ctest_")
+    refs = ("/root/reference/test/data/"
+            "gi_568815592_32578768-32589835.txt")
+    t0 = time.time()
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-m", "smoothxg_tpu.cli", "-t", "2",
+             "--engine", "native", "-g", REF_GFA, "-j", "5k", "-e", "5k",
+             "-l", "700,900,1100", "-m", os.path.join(ctest_dir, "o.maf"),
+             "-C", f"consensus,10,100:{refs}:y,1000,10000",
+             "-o", os.path.join(ctest_dir, "o.gfa"), "-r", "12"],
+            env=cpu_env, timeout=600, capture_output=True).returncode
+        extras["e2e_ctest_native_cpu_s"] = (
+            round(time.time() - t0, 2) if rc == 0 else None)
+    except subprocess.TimeoutExpired:   # pragma: no cover
+        extras["e2e_ctest_native_cpu_s"] = None
 
     # warm 1-iteration end-to-end (engine shapes already compiled)
     tmp = tempfile.mkdtemp(prefix="smoothxg_bench_")
