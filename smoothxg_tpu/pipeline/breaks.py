@@ -79,9 +79,19 @@ def break_blocks(
         pool = get_pool(threads)
         futs = [pool.submit(_break_chunk, _IDX_SEQ, idx_bytes, chunk, kw)
                 for chunk in chunked(blocks, 4 * threads)]
-        per_block = [r for f in futs for r in f.result()]
+        from ..utils.progress import ProgressMeter
+        with ProgressMeter(len(futs), "break_blocks", "block chunks") as pm:
+            per_block = []
+            for f in futs:
+                per_block.extend(f.result())
+                pm.increment()
     else:
-        per_block = [_break_one(idx, b, kw) for b in blocks]
+        from ..utils.progress import ProgressMeter
+        with ProgressMeter(len(blocks), "break_blocks", "blocks") as pm:
+            per_block = []
+            for b in blocks:
+                per_block.append(_break_one(idx, b, kw))
+                pm.increment()
 
     out = Blockset()
     n_cut = n_repeat = n_split = 0

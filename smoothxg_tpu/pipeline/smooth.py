@@ -90,6 +90,11 @@ class _BlockState:
     graph: POAGraph | None = None
     params: POAParams | None = None
     padding: int = 0
+    # abPOA mode (-A): global alignment + adaptive band (wb/wf) + consensus
+    # restricted to read-supported handles.  The reference's "per-base
+    # weight matrix" is uniform per sequence (weights_abpoa[i][j] =
+    # weights[i], src/smooth.cpp:326-329), so the per-sequence dedup
+    # weights used by every engine here are exactly equivalent.
     abpoa_mode: bool = False
     poa_ms: float = 0.0              # attributed POA wall time
 
@@ -430,16 +435,19 @@ def _smooth_fused_pipelined(idx, engine, states, enc, consensus_base_name,
                 add_consensus, consensus_base_name, produce_maf)))
             buf, bidx = [], []
 
-    for i, kind, payload in engine.poa_block_batch_iter(inp):
-        buf.append((states[i], kind, payload, enc[i], validate))
-        bidx.append(i)
-        if len(buf) >= 8:
-            flush()
-    flush()
-    results: list = [None] * len(states)
-    for idxs, f in futs:
-        for i, res in zip(idxs, f.result()):
-            results[i] = res
+    from ..utils.progress import ProgressMeter
+    with ProgressMeter(len(states), "smooth", "POA blocks") as pm:
+        for i, kind, payload in engine.poa_block_batch_iter(inp):
+            buf.append((states[i], kind, payload, enc[i], validate))
+            bidx.append(i)
+            pm.increment()
+            if len(buf) >= 8:
+                flush()
+        flush()
+        results: list = [None] * len(states)
+        for idxs, f in futs:
+            for i, res in zip(idxs, f.result()):
+                results[i] = res
     ms_each = (_time.perf_counter() - t0) * 1e3 / max(len(states), 1)
     for st in states:
         st.poa_ms = ms_each
