@@ -78,16 +78,24 @@ class FlatIndex:
         self.node_steps_start = np.zeros(n + 2, dtype=np.int64)
         np.cumsum(counts, out=self.node_steps_start[1:])
         total = int(self.node_steps_start[n])
-        self.step_path = np.zeros(total, dtype=np.int32)
-        self.step_rank = np.zeros(total, dtype=np.int64)
-        cursor = self.node_steps_start[:-1].copy()
-        for pid, arr in enumerate(self.path_steps):
-            nodes = (arr >> 1) - 1
-            for rank, nd in enumerate(nodes):
-                c = cursor[nd]
-                self.step_path[c] = pid
-                self.step_rank[c] = rank
-                cursor[nd] = c + 1
+        # Flatten all steps path-major, then stable-sort by node: within a
+        # node, entries stay in (path, rank) order — identical to the
+        # sequential cursor fill this replaces.
+        if total:
+            nodes_cat = np.concatenate(
+                [(arr >> 1) - 1 for arr in self.path_steps if len(arr)])
+            pid_cat = np.concatenate(
+                [np.full(len(arr), pid, dtype=np.int32)
+                 for pid, arr in enumerate(self.path_steps) if len(arr)])
+            rank_cat = np.concatenate(
+                [np.arange(len(arr), dtype=np.int64)
+                 for arr in self.path_steps if len(arr)])
+            order = np.argsort(nodes_cat, kind="stable")
+            self.step_path = pid_cat[order]
+            self.step_rank = rank_cat[order]
+        else:
+            self.step_path = np.zeros(0, dtype=np.int32)
+            self.step_rank = np.zeros(0, dtype=np.int64)
 
     # ---- node queries ----
     def get_length(self, h: int) -> int:
