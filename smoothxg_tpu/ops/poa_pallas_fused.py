@@ -951,10 +951,18 @@ class FusedPallasEngine:
     LCAPS = (512, 1024, 1536, 2048)
     VRS = (8, 16, 24, 32)
 
+    # host-steal calibration (measured: native/cpoa.cpp sustains ~55-60 M
+    # DP cells/s single-thread on this host; the fused kernel ~0.5 M DP
+    # rows/s on a v5e through the axon tunnel).  The device rate is
+    # re-estimated online after every batch run (EMA), so the constants
+    # only steer the first run.
+    NATIVE_CELLS_PS = 55e6
+    DEV_ROWS_PS = 500e3
+
     def __init__(self, max_seqs: int = 48, max_batch: int = 64,
                  shape: tuple = SHAPE, interpret: bool = False,
                  validate: bool = True, devices: int | None = None,
-                 threads: int = 1):
+                 threads: int = 1, steal: bool | None = None):
         from . import poa_native
         from .poa_fused import FusedHostEngine
         self.VW, self.LW = shape
@@ -963,6 +971,15 @@ class FusedPallasEngine:
         self.interpret = interpret
         self.validate = validate
         self.threads = threads
+        # host-steal: route a cost-balanced tail of device-eligible blocks
+        # to the native CPU pool so idle host cores shorten the device's
+        # critical path (reference analogue: OMP dynamic scheduling over
+        # blocks uses EVERY core, src/smooth.cpp:1904).  Defaults on for
+        # real-device multi-thread runs.
+        self.steal = (threads > 1 and not interpret) if steal is None \
+            else steal
+        self.stolen = 0
+        self._dev_rows_ps = float(self.DEV_ROWS_PS)
         if devices is None:
             try:
                 import jax
@@ -990,8 +1007,54 @@ class FusedPallasEngine:
             "device_blocks": self.device_blocks,
             "fallbacks": self.fallbacks,
             "redo": self.redo,
+            "stolen": self.stolen,
             "device_wait_s": round(self.device_s, 3),
+            "dev_rows_per_s": round(self._dev_rows_ps),
         }
+
+    @staticmethod
+    def _steal_costs(seqs) -> tuple[float, float]:
+        """(native_cost, device_cost) estimates for one block.  Native DP
+        fills ~V x L cells per alignment round (V ~ len(seq0) + growth);
+        the device kernel's per-row cost is L-independent (fixed folded
+        row), so its cost is rows = rounds x V."""
+        L0 = float(len(seqs[0]))
+        nat = sum(L0 * len(s) for s in seqs[1:])
+        dev = L0 * max(len(seqs) - 1, 1)
+        return nat, dev
+
+    def _select_steal(self, blocks, dev: dict) -> list[int]:
+        """Pick device-eligible blocks for the host pool, cheapest native
+        cost first, while the pool's estimated time stays under the
+        device's estimated time for the remainder.  Mutates dev's lists."""
+        w_eff = max(1, self.threads - 1)   # one worker stays on finalize
+        host_ps = self.NATIVE_CELLS_PS * w_eff
+        cand = []
+        dev_total = 0.0
+        for key, idxs in dev.items():
+            for i in idxs:
+                nat, du = self._steal_costs(blocks[i][0])
+                cand.append((nat, du, i, key))
+                dev_total += du
+        cand.sort(key=lambda t: t[0])
+        host_t = 0.0
+        stolen: list[int] = []
+        drop: set[int] = set()
+        for nat, du, i, key in cand:
+            t_host = host_t + nat / host_ps
+            t_dev = (dev_total - du) / self._dev_rows_ps
+            if t_host > t_dev:
+                break
+            host_t = t_host
+            dev_total -= du
+            stolen.append(i)
+            drop.add(i)
+        if stolen:
+            for key in list(dev):
+                dev[key] = [i for i in dev[key] if i not in drop]
+                if not dev[key]:
+                    del dev[key]
+        return stolen
 
     def warmup(self, locals_=(True,), banded=(False,)):
         import jax.numpy as jnp
@@ -1067,9 +1130,18 @@ class FusedPallasEngine:
             else:
                 self.fallbacks += 1
                 fb.append(i)
-        handles = []
         cap = self.max_batch * self.n_dev
+        stolen: list[int] = []
+        if self.steal and sum(len(v) for v in dev.values()) > cap:
+            stolen = self._select_steal(blocks, dev)
+            self.stolen += len(stolen)
+        import time as _time
+        t_devstart = _time.perf_counter()
+        dev_rows = 0.0
+        handles = []
         for idxs in dev.values():
+            for i in idxs:
+                dev_rows += self._steal_costs(blocks[i][0])[1]
             for s in range(0, len(idxs), cap):
                 handles.append(self._launch(blocks, idxs[s:s + cap]))
         # start every handle's D2H as soon as its kernel finishes, so
@@ -1091,9 +1163,9 @@ class FusedPallasEngine:
             return [lambda g=g: g for g in res]
 
         fb_futs = _async(fb) if fb else []
+        steal_futs = _async(stolen) if stolen else []
         redo: list[int] = []
         redo_futs: list = []
-        import time as _time
         for chunk, meta, exp, paths in handles:
             t0 = _time.perf_counter()
             meta = np.asarray(meta)
@@ -1135,6 +1207,14 @@ class FusedPallasEngine:
                 blk_paths = [paths[b, r, :len(s)] for r, s in enumerate(seqs)]
                 self.device_blocks += 1
                 yield i, "raw", (base, ring, order, blk_paths)
+        if handles and dev_rows:
+            # online device-rate estimate for the next steal decision
+            # (EMA; elapsed spans packing + kernels + D2H of all chunks)
+            elapsed = max(_time.perf_counter() - t_devstart, 1e-6)
+            self._dev_rows_ps = 0.5 * self._dev_rows_ps + \
+                0.5 * (dev_rows / elapsed)
+        for i, f in zip(stolen, steal_futs):
+            yield i, "graph", f()
         for i, f in zip(fb, fb_futs):
             yield i, "graph", f()
         self.redo += len(redo)

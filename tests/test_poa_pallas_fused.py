@@ -113,3 +113,33 @@ def test_fused_kernel_banded_random(engine):
         s = s[:pos] + list("ACG")[: int(rng.integers(1, 3))] + s[pos:]
         seqs.append("".join(s))
     assert_block_parity(engine, seqs, p)
+
+
+def test_host_steal_routes_blocks_and_matches_oracle():
+    """steal=True: a cost-balanced tail of device-eligible blocks runs on
+    the native pool; results must be identical to the all-device path."""
+    p = POAParams(local=True)
+    rng = np.random.default_rng(3)
+    blocks = []
+    for _ in range(10):
+        base = "".join("ACGT"[i] for i in rng.integers(0, 4, 40))
+        seqs = [base]
+        for _ in range(2):
+            s = list(base)
+            pos = int(rng.integers(0, len(s)))
+            s[pos] = "ACGT"[int(rng.integers(0, 4))]
+            seqs.append("".join(s))
+        blocks.append(([encode_seq(s) for s in seqs],
+                       [1] * len(seqs), p))
+    eng = FusedPallasEngine(shape=(512, 256), max_seqs=16, max_batch=4,
+                            interpret=True, threads=2, steal=True,
+                            devices=1)
+    got = eng.poa_block_batch(blocks)
+    assert eng.stolen > 0
+    assert eng.stolen + eng.device_blocks == len(blocks)
+    for (seqs, w, pp), g in zip(blocks, got):
+        f = FusedPOA()
+        for s in seqs:
+            f.add_sequence(s, pp)
+        assert g.base == f.base
+        assert g.seq_paths == f.paths
