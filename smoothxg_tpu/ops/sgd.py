@@ -12,8 +12,16 @@ which is the natural data-parallel formulation: one jit-compiled update per
 iteration, B terms wide.  Terms sample a step uniformly, a second step of
 the same path at a zipf-distributed rank distance, and pull the two nodes'
 1D positions toward their nucleotide distance along the path.
+
+Shapes are geometrically bucketed (pad-and-mask) so one compiled kernel
+serves every pipeline iteration: actual sizes (step count, node count,
+zipf space) travel as dynamic scalar operands.  Padding the term batch up
+to its bucket only means *more* term updates per iteration — the knob is
+a minimum ("min_term_updates", src/prep.cpp:33).
 """
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -25,6 +33,67 @@ def _zipf_cdf(n: int, theta: float) -> np.ndarray:
     w = ranks ** (-theta)
     cdf = np.cumsum(w)
     return cdf / cdf[-1]
+
+
+def _bucket(v: int, base: float = 1.3, floor: int = 256) -> int:
+    b = floor
+    while b < v:
+        b = int(np.ceil(b * base))
+    return b
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_run(B: int, iter_max: int):
+    """One jit per (term-batch bucket, iter_max): every array operand is
+    pre-padded to its own bucket, and the real sizes arrive as scalars."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x, key, node, pos, start, count, cdf, etas, caps, T):
+        def one_iter(t, carry):
+            x, key = carry
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            eta = etas[t]
+            space_cap = caps[t]
+            u1 = jax.random.uniform(k1, (B,))
+            i1 = jnp.minimum((u1 * T).astype(jnp.int32),
+                             T.astype(jnp.int32) - 1)
+            u = jax.random.uniform(k2, (B,))
+            z = jnp.searchsorted(cdf, u) + 1
+            z = jnp.minimum(z, space_cap).astype(jnp.int32)
+            sgn = jnp.where(jax.random.bernoulli(k3, 0.5, (B,)), 1, -1
+                            ).astype(jnp.int32)
+            r1 = i1 - start[i1]
+            cnt = count[i1]
+            r2 = r1 + sgn * z
+            r2 = jnp.where((r2 < 0) | (r2 >= cnt), r1 - sgn * z, r2)
+            r2 = jnp.clip(r2, 0, cnt - 1)
+            i2 = start[i1] + r2
+            n1, n2 = node[i1], node[i2]
+            d = jnp.abs(pos[i1] - pos[i2])
+            ok = (n1 != n2) & (d > 0)
+            d = jnp.maximum(d, 1e-3)
+            mu = jnp.minimum(eta / (d * d), 1.0)
+            dx = x[n1] - x[n2]
+            mag = jnp.abs(dx) + 1e-9
+            delta = mu * (mag - d) / 2.0
+            rr = jnp.where(ok, delta / mag, 0.0)
+            upd = rr * dx
+            # the reference applies term updates Hogwild-sequentially; the
+            # batched equivalent averages conflicting per-node updates so
+            # simultaneous terms cannot compound into divergence
+            acc = jnp.zeros_like(x)
+            cnt_nd = jnp.zeros_like(x)
+            acc = acc.at[n1].add(-upd).at[n2].add(upd)
+            one = jnp.where(ok, 1.0, 0.0)
+            cnt_nd = cnt_nd.at[n1].add(one).at[n2].add(one)
+            x = x + acc / jnp.maximum(cnt_nd, 1.0)
+            return (x, key)
+        x, _ = jax.lax.fori_loop(0, iter_max, one_iter, (x, key))
+        return x
+
+    return run
 
 
 def path_sgd_order(
@@ -50,35 +119,35 @@ def path_sgd_order(
     n = len(node_ids)
     if n <= 1:
         return node_ids
-    id2ix = {nid: i for i, nid in enumerate(node_ids)}
-    node_len = np.array([len(g.seqs[nid]) for nid in node_ids], dtype=np.float64)
+    ids_arr = np.fromiter(node_ids, dtype=np.int64, count=n)
+    # dense lookup: node id -> index in node_ids (ids are small ints)
+    lut = np.full(int(ids_arr.max()) + 1, -1, dtype=np.int32)
+    lut[ids_arr] = np.arange(n, dtype=np.int32)
+    node_len = np.array([len(g.seqs[nid]) for nid in node_ids],
+                        dtype=np.float64)
 
-    # flat step arrays over all paths
-    st_node, st_pos, st_path_off, st_path_len = [], [], [], []
-    off = 0
+    # flat step arrays over all paths (vectorized per path)
+    per_path = []
     for steps in g.path_steps:
-        st_path_off.append(off)
-        pos = 0
-        for h in steps:
-            ix = id2ix[h >> 1]
-            st_node.append(ix)
-            st_pos.append(pos + node_len[ix] / 2.0)
-            pos += node_len[ix]
-        st_path_len.append(len(steps))
-        off += len(steps)
-    T = off
+        if not steps:
+            per_path.append((np.zeros(0, np.int32), np.zeros(0, np.float64)))
+            continue
+        ix = lut[np.asarray(steps, dtype=np.int64) >> 1]
+        ln = node_len[ix]
+        pos = np.cumsum(ln) - ln / 2.0
+        per_path.append((ix.astype(np.int32), pos))
+    lens = [len(ix) for ix, _ in per_path]
+    T = int(sum(lens))
     if T == 0:
         return node_ids
-    st_node = np.array(st_node, dtype=np.int32)
-    st_pos = np.array(st_pos, dtype=np.float64)
-    step_path_start = np.zeros(T, dtype=np.int32)
-    step_path_count = np.zeros(T, dtype=np.int32)
-    for p, (o, c) in enumerate(zip(st_path_off, st_path_len)):
-        step_path_start[o:o + c] = o
-        step_path_count[o:o + c] = c
+    st_node = np.concatenate([ix for ix, _ in per_path])
+    st_pos = np.concatenate([p for _, p in per_path])
+    offs = np.cumsum([0] + lens[:-1])
+    step_path_start = np.repeat(offs.astype(np.int32), lens)
+    step_path_count = np.repeat(np.asarray(lens, np.int32), lens)
 
-    max_steps = max(st_path_len) if st_path_len else 1
-    zipf_space = int(max(2, max(st_path_len)))
+    max_steps = max(lens) if lens else 1
+    zipf_space = int(max(2, max_steps))
     cdf = _zipf_cdf(zipf_space, theta)
 
     eta_max = float(max_steps) ** 2
@@ -88,69 +157,38 @@ def path_sgd_order(
     # init positions at current vector offsets (node center)
     x0 = np.cumsum(node_len) - node_len / 2.0
 
+    # bucketed shapes: one compile covers every pipeline iteration
+    B_pad = _bucket(B)
+    T_pad = _bucket(T)
+    Z_pad = _bucket(zipf_space)
+    n_pad = _bucket(n)
+
+    def _pad(a, size, fill=0):
+        out = np.full(size, fill, dtype=a.dtype)
+        out[:len(a)] = a
+        return out
+
     def _solve():
-      dev_node = jnp.asarray(st_node)
-      dev_pos = jnp.asarray(st_pos, dtype=jnp.float32)
-      dev_start = jnp.asarray(step_path_start)
-      dev_count = jnp.asarray(step_path_count)
-      dev_cdf = jnp.asarray(cdf, dtype=jnp.float32)
-
-      etas = jnp.asarray(eta_max * np.exp(-lam * np.arange(iter_max)),
-                         dtype=jnp.float32)
-      caps = jnp.asarray(
-          [zipf_space if t < iter_max * cooling_start
-           else min(zipf_space, 1000)
-           for t in range(iter_max)], dtype=jnp.int32)
-      n_nodes = n
-
-      @jax.jit
-      def run(x, key):
-        def one_iter(t, carry):
-            x, key = carry
-            key, k1, k2, k3 = jax.random.split(key, 4)
-            eta = etas[t]
-            space_cap = caps[t]
-            i1 = jax.random.randint(k1, (B,), 0, T)
-            u = jax.random.uniform(k2, (B,))
-            z = jnp.searchsorted(dev_cdf, u) + 1
-            z = jnp.minimum(z, space_cap).astype(jnp.int32)
-            sgn = jnp.where(jax.random.bernoulli(k3, 0.5, (B,)), 1, -1
-                            ).astype(jnp.int32)
-            r1 = i1 - dev_start[i1]
-            cnt = dev_count[i1]
-            r2 = r1 + sgn * z
-            r2 = jnp.where((r2 < 0) | (r2 >= cnt), r1 - sgn * z, r2)
-            r2 = jnp.clip(r2, 0, cnt - 1)
-            i2 = dev_start[i1] + r2
-            n1, n2 = dev_node[i1], dev_node[i2]
-            d = jnp.abs(dev_pos[i1] - dev_pos[i2])
-            ok = (n1 != n2) & (d > 0)
-            d = jnp.maximum(d, 1e-3)
-            mu = jnp.minimum(eta / (d * d), 1.0)
-            dx = x[n1] - x[n2]
-            mag = jnp.abs(dx) + 1e-9
-            delta = mu * (mag - d) / 2.0
-            rr = jnp.where(ok, delta / mag, 0.0)
-            upd = rr * dx
-            # the reference applies term updates Hogwild-sequentially; the
-            # batched equivalent averages conflicting per-node updates so
-            # simultaneous terms cannot compound into divergence
-            acc = jnp.zeros((n_nodes,), jnp.float32)
-            cnt_nd = jnp.zeros((n_nodes,), jnp.float32)
-            acc = acc.at[n1].add(-upd).at[n2].add(upd)
-            one = jnp.where(ok, 1.0, 0.0)
-            cnt_nd = cnt_nd.at[n1].add(one).at[n2].add(one)
-            x = x + acc / jnp.maximum(cnt_nd, 1.0)
-            return (x, key)
-        x, _ = jax.lax.fori_loop(0, iter_max, one_iter, (x, key))
-        return x
-
-      x = jnp.asarray(x0, dtype=jnp.float32)
-      key = jax.random.PRNGKey(seed)
-      x = run(x, key)
-      xh = np.asarray(jax.device_get(x), dtype=np.float64)
-      order = np.argsort(xh, kind="stable")
-      return [node_ids[i] for i in order]
+        run = _compiled_run(B_pad, iter_max)
+        node_p = jnp.asarray(_pad(st_node, T_pad))
+        pos_p = jnp.asarray(_pad(st_pos, T_pad).astype(np.float32))
+        start_p = jnp.asarray(_pad(step_path_start, T_pad))
+        count_p = jnp.asarray(_pad(step_path_count, T_pad, fill=1))
+        # cdf padded with 1.0: u < 1 always lands inside the real prefix
+        cdf_p = jnp.asarray(_pad(cdf.astype(np.float32), Z_pad, fill=1.0))
+        etas = jnp.asarray(eta_max * np.exp(-lam * np.arange(iter_max)),
+                           dtype=jnp.float32)
+        caps = jnp.asarray(
+            [zipf_space if t < iter_max * cooling_start
+             else min(zipf_space, 1000)
+             for t in range(iter_max)], dtype=jnp.int32)
+        x = jnp.asarray(_pad(x0.astype(np.float32), n_pad))
+        key = jax.random.PRNGKey(seed)
+        x = run(x, key, node_p, pos_p, start_p, count_p, cdf_p, etas,
+                caps, jnp.float32(T))
+        xh = np.asarray(jax.device_get(x), dtype=np.float64)[:n]
+        order = np.argsort(xh, kind="stable")
+        return [node_ids[i] for i in order]
 
     # a remote-TPU compile costs minutes per process; route small graphs
     # to the local CPU backend where the same jit compiles in seconds —
