@@ -140,13 +140,24 @@ def create_consensus_graph(
             if nid not in owner:
                 owner[nid] = pid
 
+    # per consensus path: node -> (step position, step handle) of its LAST
+    # step on that node — the value the reference's per-node scan leaves
+    # behind (:247-308).  Replaces a steps_on_node rescan per queried step.
+    cons_last_step: dict[int, dict[int, tuple[int, int]]] = {}
+    for pid in cons_pids:
+        m: dict[int, tuple[int, int]] = {}
+        steps = smoothed.path_steps[pid]
+        pos = smoothed.path_pos[pid]
+        for r in range(len(steps)):
+            h = int(steps[r])
+            m[h >> 1] = (int(pos[r]), h)
+        cons_last_step[pid] = m
+
     def consensus_part(cons_pid: int, node_id: int) -> int:
         """position of the consensus step on this node -> begin/middle/end
         eighths (reference: :247-273)."""
-        pos = -1
-        for (p, r) in smoothed.steps_on_node(node_id):
-            if p == cons_pid:
-                pos = smoothed.step_position(p, r)
+        hit = cons_last_step[cons_pid].get(node_id)
+        pos = hit[0] if hit is not None else -1
         if pos < 0:
             return MIDDLE
         clen = smoothed.get_path_length(cons_pid)
@@ -167,16 +178,17 @@ def create_consensus_graph(
     def consensus_distance(cons_pid: int, last_h: int, curr_h: int) -> int:
         """reference: :275-308."""
         start_pos = end_pos = -1
-        for (p, r) in smoothed.steps_on_node(last_h >> 1):
-            if p == cons_pid:
-                start_pos = smoothed.step_position(p, r)
-                if smoothed.step_handle(p, r) == last_h:
-                    start_pos += smoothed.get_length(last_h)
-        for (p, r) in smoothed.steps_on_node(curr_h >> 1):
-            if p == cons_pid:
-                end_pos = smoothed.step_position(p, r)
-                if smoothed.step_handle(p, r) == (curr_h ^ 1):
-                    end_pos += smoothed.get_length(last_h)
+        m = cons_last_step[cons_pid]
+        hit = m.get(last_h >> 1)
+        if hit is not None:
+            start_pos, sh = hit
+            if sh == last_h:
+                start_pos += smoothed.get_length(last_h)
+        hit = m.get(curr_h >> 1)
+        if hit is not None:
+            end_pos, eh = hit
+            if eh == (curr_h ^ 1):
+                end_pos += smoothed.get_length(last_h)
         if start_pos >= 0 and end_pos >= 0:
             return abs(end_pos - start_pos)
         return -1

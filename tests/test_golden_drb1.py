@@ -24,15 +24,17 @@ import pytest
 from smoothxg_tpu.io.gfa import read_gfa
 from smoothxg_tpu.pipeline.run import Config, run_smoothing
 
-# recorded 2026-08-17 from the canonical run (engine=native, use_sgd=True)
+# recorded 2026-08-18 from the canonical run (engine=native, use_sgd=True;
+# re-recorded after the SGD shape-bucketing changed the RNG stream — a
+# benign reordering: block count 17 -> 18, all hard invariants unchanged)
 GOLDEN = {
-    "nodes": 4768,
-    "edges": 6507,
-    "paths": 29,          # 12 input + 17 consensus
-    "steps": 36315,
-    "cons": 17,
-    "maf_blocks": 17,
-    "total_bp": 190080,   # input 163,416 + consensus paths
+    "nodes": 4781,
+    "edges": 6524,
+    "paths": 30,          # 12 input + 18 consensus
+    "steps": 36430,
+    "cons": 18,
+    "maf_blocks": 18,
+    "total_bp": 191036,   # input 163,416 + consensus paths
 }
 TOL = 0.10
 
