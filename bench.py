@@ -56,6 +56,34 @@ def probe_device(timeout_s: float = 240.0, tries: int = 3) -> bool:
     return False
 
 
+def run_ctest_cpu(timeout_s: float = 600.0):
+    """Full ctest-equivalent end-to-end (3 iterations, MAF, 3-spec
+    consensus graphs) with the native C++ engine, CPU only — the direct
+    apples-to-apples number against the reference's 25.45 s on a Ryzen
+    3700X (test/performance/check.md:5-16).  Runs in a subprocess with the
+    axon plugin disabled so it cannot contend for the single-client TPU
+    tunnel this process may hold.  Returns wall seconds or None."""
+    import subprocess
+    cpu_env = dict(os.environ)
+    cpu_env.pop("PALLAS_AXON_POOL_IPS", None)
+    cpu_env["JAX_PLATFORMS"] = "cpu"
+    ctest_dir = tempfile.mkdtemp(prefix="smoothxg_ctest_")
+    refs = ("/root/reference/test/data/"
+            "gi_568815592_32578768-32589835.txt")
+    t0 = time.time()
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-m", "smoothxg_tpu.cli", "-t", "2",
+             "--engine", "native", "-g", REF_GFA, "-j", "5k", "-e", "5k",
+             "-l", "700,900,1100", "-m", os.path.join(ctest_dir, "o.maf"),
+             "-C", f"consensus,10,100:{refs}:y,1000,10000",
+             "-o", os.path.join(ctest_dir, "o.gfa"), "-r", "12"],
+            env=cpu_env, timeout=timeout_s, capture_output=True).returncode
+        return round(time.time() - t0, 2) if rc == 0 else None
+    except subprocess.TimeoutExpired:   # pragma: no cover
+        return None
+
+
 def main() -> int:
     from smoothxg_tpu.graph.index import FlatIndex
     from smoothxg_tpu.io.gfa import read_gfa
@@ -72,11 +100,14 @@ def main() -> int:
 
     Log.enabled = os.environ.get("BENCH_VERBOSE", "") != ""
     if os.environ.get("PALLAS_AXON_POOL_IPS") and not probe_device():
+        # still report the CPU-only end-to-end so the round's bench line
+        # carries a real measurement even when the device is unreachable
         print(json.dumps({
             "metric": "poa_blocks_per_s", "value": 0.0, "unit": "blocks/s",
             "vs_baseline": 0.0,
             "error": "axon TPU backend unreachable (tunnel down; "
-                     "jax.devices() hangs in PJRT init)"}))
+                     "jax.devices() hangs in PJRT init)",
+            "e2e_ctest_native_cpu_s": run_ctest_cpu()}))
         return 1
     ensure_backend()
 
@@ -157,32 +188,7 @@ def main() -> int:
         "default_l4000_native_blocks": engine.fallbacks - f0,
     })
 
-    # full ctest-equivalent end-to-end (3 iterations, MAF, 3-spec consensus
-    # graphs) with the native C++ engine, CPU only — the direct
-    # apples-to-apples number against the reference's 25.45 s on a Ryzen
-    # 3700X (test/performance/check.md:5-16).  Runs in a subprocess with
-    # the axon plugin disabled so it cannot contend for the single-client
-    # TPU tunnel this process holds.
-    import subprocess
-    cpu_env = dict(os.environ)
-    cpu_env.pop("PALLAS_AXON_POOL_IPS", None)
-    cpu_env["JAX_PLATFORMS"] = "cpu"
-    ctest_dir = tempfile.mkdtemp(prefix="smoothxg_ctest_")
-    refs = ("/root/reference/test/data/"
-            "gi_568815592_32578768-32589835.txt")
-    t0 = time.time()
-    try:
-        rc = subprocess.run(
-            [sys.executable, "-m", "smoothxg_tpu.cli", "-t", "2",
-             "--engine", "native", "-g", REF_GFA, "-j", "5k", "-e", "5k",
-             "-l", "700,900,1100", "-m", os.path.join(ctest_dir, "o.maf"),
-             "-C", f"consensus,10,100:{refs}:y,1000,10000",
-             "-o", os.path.join(ctest_dir, "o.gfa"), "-r", "12"],
-            env=cpu_env, timeout=600, capture_output=True).returncode
-        extras["e2e_ctest_native_cpu_s"] = (
-            round(time.time() - t0, 2) if rc == 0 else None)
-    except subprocess.TimeoutExpired:   # pragma: no cover
-        extras["e2e_ctest_native_cpu_s"] = None
+    extras["e2e_ctest_native_cpu_s"] = run_ctest_cpu()
 
     # warm 1-iteration end-to-end (engine shapes already compiled)
     tmp = tempfile.mkdtemp(prefix="smoothxg_bench_")
