@@ -17,10 +17,30 @@
 // Build: make -C native  (g++ -O3 -march=native -shared -fPIC)
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 #include <algorithm>
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
 
 using std::vector;
+
+#ifdef CPOA_PROF
+#include <chrono>
+static double prof_acc[8];   // assign, pred, fill, end, tb, thread, walk
+struct ProfT {
+    int k; std::chrono::steady_clock::time_point t0;
+    explicit ProfT(int k_) : k(k_), t0(std::chrono::steady_clock::now()) {}
+    ~ProfT() { prof_acc[k] += std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count(); }
+};
+#define PROF_CAT2(a, b) a##b
+#define PROF_CAT(a, b) PROF_CAT2(a, b)
+#define PROF(k) ProfT PROF_CAT(prof_scope_, __LINE__)(k)
+#else
+#define PROF(k)
+#endif
 
 namespace {
 
@@ -36,6 +56,153 @@ struct Params {
     int32_t wf_milli = 30;
 };
 
+// One DP row over columns [blo, bhi].  The F channels use the exact
+// max-plus closed form
+//     f(j) = R(j-1) - (j-1)*ext,   R(j) = max(R(j-1), hq(j) - open + j*ext),
+//     R(blo-1) = NEG + (blo-1)*ext
+// which is integer-identical to the iterated recurrence
+// f' = max(f - ext, hq - open) (both are the max over the same candidate
+// set; the Pallas kernel uses the same closed form on device,
+// ops/poa_pallas_fused.py).  Breaking the loop-carried dependency this way
+// lets the whole row run as 16-lane AVX-512 with a log-step prefix max;
+// the scalar path computes the identical closed form.
+static int32_t fill_row(const int32_t* hpmax, const int32_t* e1p,
+                        const int32_t* e2p, const int8_t* seq, int32_t bv,
+                        const Params& p, int64_t blo, int64_t bhi,
+                        int32_t* Hrow, int32_t* Hqrow, int32_t* E1row,
+                        int32_t* E2row) {
+    int32_t r1 = NEG + (int32_t)(blo - 1) * p.e;
+    int32_t r2 = NEG + (int32_t)(blo - 1) * p.c;
+    int32_t rm = NEG;   // row max of H (drives the local end-cell pick)
+    int64_t j = blo;
+    auto scalar_step = [&](int64_t jj) {
+        int32_t M = (jj == 0) ? NEG
+            : hpmax[jj - 1] + (seq[jj - 1] == bv ? p.m : -p.n);
+        int32_t e1 = std::max(hpmax[jj] - p.g, e1p[jj] - p.e);
+        int32_t e2 = std::max(hpmax[jj] - p.q, e2p[jj] - p.c);
+        if (e1 < NEG) e1 = NEG;
+        if (e2 < NEG) e2 = NEG;
+        int32_t hq = std::max(M, std::max(e1, e2));
+        if (p.local && hq < 0) hq = 0;
+        int32_t f1 = r1 - (int32_t)(jj - 1) * p.e;
+        int32_t f2 = r2 - (int32_t)(jj - 1) * p.c;
+        Hrow[jj] = std::max(hq, std::max(f1, f2));
+        rm = std::max(rm, Hrow[jj]);
+        Hqrow[jj] = hq;
+        E1row[jj] = e1;
+        E2row[jj] = e2;
+        r1 = std::max(r1, hq - p.g + (int32_t)jj * p.e);
+        r2 = std::max(r2, hq - p.q + (int32_t)jj * p.c);
+    };
+    if (j == 0) { scalar_step(0); ++j; }   // column 0 has no M term
+#ifdef __AVX512F__
+    // identity for the shifted-in prefix-max lanes must underbid every
+    // real A value (A >= NEG - n - g can dip below NEG); INT32_MIN is
+    // only ever max-compared, never added
+    const __m512i vID = _mm512_set1_epi32(INT32_MIN);
+    const __m512i vNEG = _mm512_set1_epi32(NEG);
+    const __m512i vbv = _mm512_set1_epi32(bv);
+    const __m512i vsm = _mm512_set1_epi32(p.m);
+    const __m512i vsn = _mm512_set1_epi32(-p.n);
+    const __m512i vg = _mm512_set1_epi32(p.g);
+    const __m512i ve = _mm512_set1_epi32(p.e);
+    const __m512i vq = _mm512_set1_epi32(p.q);
+    const __m512i vc = _mm512_set1_epi32(p.c);
+    const __m512i vone = _mm512_set1_epi32(1);
+    const __m512i lane = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                           10, 11, 12, 13, 14, 15);
+    const __m512i vzero = _mm512_setzero_si512();
+    __m512i vrm = _mm512_set1_epi32(NEG);
+    const bool loc = p.local;
+    for (; j + 16 <= bhi + 1; j += 16) {
+        __m512i hp1 = _mm512_loadu_si512((const void*)(hpmax + j - 1));
+        __m512i hp = _mm512_loadu_si512((const void*)(hpmax + j));
+        __m512i ep1 = _mm512_loadu_si512((const void*)(e1p + j));
+        __m512i ep2 = _mm512_loadu_si512((const void*)(e2p + j));
+        __m128i sb = _mm_loadu_si128((const __m128i*)(seq + j - 1));
+        __m512i sc = _mm512_cvtepi8_epi32(sb);
+        __mmask16 eq = _mm512_cmpeq_epi32_mask(sc, vbv);
+        __m512i M = _mm512_add_epi32(hp1, _mm512_mask_blend_epi32(eq, vsn, vsm));
+        __m512i e1 = _mm512_max_epi32(_mm512_sub_epi32(hp, vg),
+                                      _mm512_sub_epi32(ep1, ve));
+        e1 = _mm512_max_epi32(e1, vNEG);
+        __m512i e2 = _mm512_max_epi32(_mm512_sub_epi32(hp, vq),
+                                      _mm512_sub_epi32(ep2, vc));
+        e2 = _mm512_max_epi32(e2, vNEG);
+        __m512i hq = _mm512_max_epi32(M, _mm512_max_epi32(e1, e2));
+        if (loc) hq = _mm512_max_epi32(hq, vzero);
+        _mm512_storeu_si512((void*)(Hqrow + j), hq);
+        _mm512_storeu_si512((void*)(E1row + j), e1);
+        _mm512_storeu_si512((void*)(E2row + j), e2);
+        __m512i jv = _mm512_add_epi32(_mm512_set1_epi32((int32_t)j), lane);
+        __m512i a1 = _mm512_add_epi32(_mm512_sub_epi32(hq, vg),
+                                      _mm512_mullo_epi32(jv, ve));
+        __m512i a2 = _mm512_add_epi32(_mm512_sub_epi32(hq, vq),
+                                      _mm512_mullo_epi32(jv, vc));
+        // inclusive 16-lane prefix max: shift-up by 1/2/4/8 and max
+        __m512i p1 = a1, p2 = a2;
+        p1 = _mm512_max_epi32(p1, _mm512_alignr_epi32(p1, vID, 15));
+        p2 = _mm512_max_epi32(p2, _mm512_alignr_epi32(p2, vID, 15));
+        p1 = _mm512_max_epi32(p1, _mm512_alignr_epi32(p1, vID, 14));
+        p2 = _mm512_max_epi32(p2, _mm512_alignr_epi32(p2, vID, 14));
+        p1 = _mm512_max_epi32(p1, _mm512_alignr_epi32(p1, vID, 12));
+        p2 = _mm512_max_epi32(p2, _mm512_alignr_epi32(p2, vID, 12));
+        p1 = _mm512_max_epi32(p1, _mm512_alignr_epi32(p1, vID, 8));
+        p2 = _mm512_max_epi32(p2, _mm512_alignr_epi32(p2, vID, 8));
+        __m512i cr1 = _mm512_set1_epi32(r1);
+        __m512i cr2 = _mm512_set1_epi32(r2);
+        p1 = _mm512_max_epi32(p1, cr1);
+        p2 = _mm512_max_epi32(p2, cr2);
+        // exclusive view x[i] = p[i-1] with the carry entering lane 0
+        __m512i x1 = _mm512_alignr_epi32(p1, cr1, 15);
+        __m512i x2 = _mm512_alignr_epi32(p2, cr2, 15);
+        __m512i jm1 = _mm512_sub_epi32(jv, vone);
+        __m512i f1 = _mm512_sub_epi32(x1, _mm512_mullo_epi32(jm1, ve));
+        __m512i f2 = _mm512_sub_epi32(x2, _mm512_mullo_epi32(jm1, vc));
+        __m512i h = _mm512_max_epi32(hq, _mm512_max_epi32(f1, f2));
+        vrm = _mm512_max_epi32(vrm, h);
+        _mm512_storeu_si512((void*)(Hrow + j), h);
+        __m128i t1 = _mm512_extracti32x4_epi32(p1, 3);
+        __m128i t2 = _mm512_extracti32x4_epi32(p2, 3);
+        r1 = _mm_extract_epi32(t1, 3);
+        r2 = _mm_extract_epi32(t2, 3);
+    }
+    rm = std::max(rm, _mm512_reduce_max_epi32(vrm));
+#endif
+    for (; j <= bhi; ++j) scalar_step(j);
+    return rm;
+}
+
+// DP scratch, reused across blocks (thread_local: NativePOAEngine may run
+// several FusedPOA concurrently from a thread pool).  The planes are raw
+// uninitialized buffers: in unbanded mode every cell is written before it
+// is read, so clearing (or vector<>'s value-init on resize) would be pure
+// memset bandwidth — measured at ~35% of the whole engine — and a fresh
+// allocation per block would pay the same cost again in first-touch page
+// faults inside the fill.
+struct Plane {
+    std::unique_ptr<int32_t[]> buf;
+    size_t cap = 0;
+    int32_t* ensure(size_t need) {
+        if (cap < need) {
+            size_t c = std::max(need, cap * 2);
+            buf.reset(new int32_t[c]);   // POD: stays uninitialized
+            cap = c;
+        }
+        return buf.get();
+    }
+    int32_t* fill_neg(size_t need) {
+        int32_t* p = ensure(need);
+        std::fill_n(p, need, NEG);
+        return p;
+    }
+};
+struct Scratch {
+    Plane H, Hq, E1, E2;            // (V+1) x (L+1), row-major
+    Plane hpmax, e1p, e2p;          // per-row predecessor reductions
+};
+static thread_local Scratch g_scratch;
+
 struct FusedPOA {
     int ring_cap;
     vector<int32_t> base;
@@ -48,9 +215,7 @@ struct FusedPOA {
     vector<vector<int32_t>> paths;
     int32_t max_pred = 0;
 
-    // scratch (reused across rounds)
     vector<int32_t> order, row_of;
-    vector<int32_t> H, Hq, E1, E2;   // (V+1) x (L+1), row-major
 
     explicit FusedPOA(int rc) : ring_cap(rc) {}
 
@@ -103,17 +268,32 @@ struct FusedPOA {
     // -1 = aligned to the virtual source i.e. unaligned insertion)
     void align(const int8_t* seq, int64_t L, const Params& p,
                vector<int32_t>& target) {
-        walk();
+        { PROF(6); walk(); }
         const int64_t V = (int64_t)order.size();
         const int64_t W = L + 1;
-        H.assign((V + 1) * W, NEG);
-        Hq.assign((V + 1) * W, NEG);
-        E1.assign((V + 1) * W, NEG);
-        E2.assign((V + 1) * W, NEG);
-        int32_t* Hr = H.data();
-        int32_t* Hqr = Hq.data();
-        int32_t* E1r = E1.data();
-        int32_t* E2r = E2.data();
+        const bool banded = p.wb >= 0;
+        const size_t need = (size_t)(V + 1) * W;
+        Scratch& S = g_scratch;
+        int32_t *Hr, *Hqr, *E1r, *E2r;
+        { PROF(0);
+        if (banded) {
+            // banded rows leave out-of-window cells unwritten but they are
+            // still read (successor windows, end-cell scan) — keep the NEG
+            // clear
+            Hr = S.H.fill_neg(need);
+            Hqr = S.Hq.fill_neg(need);
+            E1r = S.E1.fill_neg(need);
+            E2r = S.E2.fill_neg(need);
+        } else {
+            // unbanded: every cell of rows 1..V over [0, W) is written
+            // before any read and row 0 is initialized below — the planes
+            // stay uninitialized
+            Hr = S.H.ensure(need);
+            Hqr = S.Hq.ensure(need);
+            E1r = S.E1.ensure(need);
+            E2r = S.E2.ensure(need);
+        }
+        }
 
         if (p.local) {
             for (int64_t j = 0; j < W; ++j) { Hr[j] = 0; Hqr[j] = 0; }
@@ -122,7 +302,11 @@ struct FusedPOA {
             for (int64_t j = 1; j < W; ++j)
                 Hr[j] = std::max(-(p.g + (int32_t)(j - 1) * p.e),
                                  -(p.q + (int32_t)(j - 1) * p.c));
+            if (!banded)
+                for (int64_t j = 1; j < W; ++j) Hqr[j] = NEG;
         }
+        if (!banded)
+            for (int64_t j = 0; j < W; ++j) { E1r[j] = NEG; E2r[j] = NEG; }
 
         // adaptive band: per-node min/max topological rank (1 + min/max
         // over predecessors; identical to ops/poa_host.node_ranks)
@@ -149,7 +333,13 @@ struct FusedPOA {
             adj_r = std::max<int32_t>(0, (int32_t)L - D);
         }
 
-        vector<int32_t> hpmax(W), e1p(W), e2p(W);
+        // local-mode end cell tracked during the fill (row 0 is all zeros
+        // in local mode, so it can never hold the strictly-positive best)
+        int32_t best_row = NEG;
+        int64_t bi = 0;
+        int32_t* hpmax = S.hpmax.ensure(W);
+        int32_t* e1p = S.e1p.ensure(W);
+        int32_t* e2p = S.e2p.ensure(W);
         for (int64_t i = 1; i <= V; ++i) {
             int32_t v = order[i - 1];
             const auto& ps = preds[v];
@@ -162,18 +352,16 @@ struct FusedPOA {
             // predecessor reductions restricted to [blo-1, bhi] (M reads
             // column j-1; cells outside stay whatever — never read)
             const int64_t clo = std::max<int64_t>(0, blo - 1);
+            PROF(1);
             if (ps.empty()) {
-                std::copy(Hr + clo, Hr + bhi + 1, hpmax.begin() + clo);
-                std::copy(E1r + clo, E1r + bhi + 1, e1p.begin() + clo);
-                std::copy(E2r + clo, E2r + bhi + 1, e2p.begin() + clo);
+                std::copy(Hr + clo, Hr + bhi + 1, hpmax + clo);
+                std::copy(E1r + clo, E1r + bhi + 1, e1p + clo);
+                std::copy(E2r + clo, E2r + bhi + 1, e2p + clo);
             } else {
                 int64_t r0 = (int64_t)row_of[ps[0]] * W;
-                std::copy(Hr + r0 + clo, Hr + r0 + bhi + 1,
-                          hpmax.begin() + clo);
-                std::copy(E1r + r0 + clo, E1r + r0 + bhi + 1,
-                          e1p.begin() + clo);
-                std::copy(E2r + r0 + clo, E2r + r0 + bhi + 1,
-                          e2p.begin() + clo);
+                std::copy(Hr + r0 + clo, Hr + r0 + bhi + 1, hpmax + clo);
+                std::copy(E1r + r0 + clo, E1r + r0 + bhi + 1, e1p + clo);
+                std::copy(E2r + r0 + clo, E2r + r0 + bhi + 1, e2p + clo);
                 for (size_t k = 1; k < ps.size(); ++k) {
                     int64_t r = (int64_t)row_of[ps[k]] * W;
                     for (int64_t j = clo; j <= bhi; ++j) {
@@ -185,35 +373,27 @@ struct FusedPOA {
             }
             int32_t bv = base[v];
             int64_t ri = i * W;
-            int32_t f1 = NEG, f2 = NEG;   // running F channels (prefix scan)
-            for (int64_t j = blo; j <= bhi; ++j) {
-                int32_t M = (j == 0) ? NEG
-                    : hpmax[j - 1] + (seq[j - 1] == bv ? p.m : -p.n);
-                int32_t e1 = std::max(hpmax[j] - p.g, e1p[j] - p.e);
-                int32_t e2 = std::max(hpmax[j] - p.q, e2p[j] - p.c);
-                if (e1 < NEG) e1 = NEG;
-                if (e2 < NEG) e2 = NEG;
-                int32_t hq = std::max(M, std::max(e1, e2));
-                if (p.local && hq < 0) hq = 0;
-                int32_t h = std::max(hq, std::max(f1, f2));
-                Hr[ri + j] = h;
-                Hqr[ri + j] = hq;
-                E1r[ri + j] = e1;
-                E2r[ri + j] = e2;
-                // F for column j+1: max_k<=j Hq[k] - open - (j-k)*ext
-                f1 = std::max(f1 - p.e, hq - p.g);
-                f2 = std::max(f2 - p.c, hq - p.q);
-            }
+            PROF(2);
+            int32_t rmax = fill_row(hpmax, e1p, e2p,
+                                    seq, bv, p, blo, bhi, Hr + ri, Hqr + ri,
+                                    E1r + ri, E2r + ri);
+            if (p.local && rmax > best_row) { best_row = rmax; bi = i; }
         }
 
         // ---- end cell ----
+        PROF(3);
         int64_t ei = 0, ej = 0;
         if (p.local) {
-            int32_t best = NEG;
-            for (int64_t i = 0; i <= V; ++i)
-                for (int64_t j = 0; j < W; ++j)
-                    if (Hr[i * W + j] > best) { best = Hr[i * W + j]; ei = i; ej = j; }
-            if (best <= 0) { target.assign(L, -2); return; }
+            // best_row/bi were tracked during the fill: the first row
+            // holding the global max (strict improvements only), matching
+            // the row-major first-occurrence rule of the oracle; out-of-
+            // band cells are NEG and can never tie a positive best
+            if (best_row <= 0) { target.assign(L, -2); return; }
+            ei = bi;
+            const int32_t* row = Hr + bi * W;
+            int64_t t = 0;
+            while (row[t] != best_row) ++t;
+            ej = t;
         } else {
             int32_t best = NEG - 1;
             for (int64_t i = 1; i <= V; ++i) {
@@ -224,6 +404,7 @@ struct FusedPOA {
         }
 
         // ---- traceback (value re-derivation; mirrors poa_host.align) ----
+        PROF(4);
         target.assign(L, -2);
         int64_t i = ei, j = ej;
         int chan = 0;   // 0=H, 1=Hq, 2=E1, 3=E2
@@ -401,5 +582,11 @@ void cpoa_export(void* h, int32_t* base, int32_t* ring, int32_t* order,
 }
 
 void cpoa_free(void* h) { delete (FusedPOA*)h; }
+
+#ifdef CPOA_PROF
+void cpoa_prof(double* out) {
+    for (int i = 0; i < 8; ++i) out[i] = prof_acc[i];
+}
+#endif
 
 }   // extern "C"
