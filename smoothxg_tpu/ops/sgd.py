@@ -48,6 +48,8 @@ def _compiled_run(B: int, iter_max: int):
     pre-padded to its own bucket, and the real sizes arrive as scalars."""
     import jax
     import jax.numpy as jnp
+    from .poa_jax import _enable_compile_cache
+    _enable_compile_cache()   # disk cache: one compile across processes
 
     @jax.jit
     def run(x, key, node, pos, start, count, cdf, etas, caps, T):
