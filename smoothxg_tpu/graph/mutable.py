@@ -360,6 +360,21 @@ class MutableGraph:
             return None
         return MutableGraph.from_arrays(*out, self.path_names)
 
+    def unchop_toposort(self) -> "MutableGraph":
+        """unchop + topological renumber in ONE native call — equivalent to
+        `g.unchop().compact(g.unchop().topological_order())` (graphcore.cpp
+        implements the same Kahn/min-storage-rank order) without the python
+        compact's per-node/per-step rebuild."""
+        from ..native_bindings import unchop_arrays
+        ids = [n for n in self._order if n in self.seqs]
+        if ids == list(range(1, len(ids) + 1)):
+            out = unchop_arrays(*self.to_arrays(), do_unchop=True,
+                                do_toposort=True)
+            if out is not None:
+                return MutableGraph.from_arrays(*out, self.path_names)
+        g = self.unchop()
+        return g.compact(g.topological_order())
+
     def unchop(self, native: bool = True) -> "MutableGraph":
         """Merge maximal non-branching runs of nodes into single nodes,
         preserving all path sequences exactly

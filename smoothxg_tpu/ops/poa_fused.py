@@ -207,7 +207,7 @@ def rehydrate(base: np.ndarray, ring: np.ndarray, order: list[int],
     """
     V = len(base)
     g = POAGraph()
-    g.base = [int(b) for b in base]
+    g.base = np.asarray(base, dtype=np.int64).tolist()
     g.preds = [[] for _ in range(V)]
     g.succs = [[] for _ in range(V)]
 
@@ -224,9 +224,10 @@ def rehydrate(base: np.ndarray, ring: np.ndarray, order: list[int],
     # first-seen scan order ascending == group ids ordered by cycle min
     uniq, group_of = np.unique(mins, return_inverse=True)
     g.group = group_of.tolist()
-    g.group_members = [[] for _ in range(len(uniq))]
-    for v, gid in enumerate(g.group):
-        g.group_members[gid].append(v)
+    # members sorted by (gid, v): a stable argsort of gid, split at counts
+    bounds = np.cumsum(np.bincount(group_of, minlength=len(uniq)))[:-1]
+    g.group_members = [m.tolist() for m in np.split(
+        np.argsort(group_of, kind="stable"), bounds)]
 
     # edges: consecutive path entries, weights summed per distinct (u, v);
     # succ/pred slot order preserved as first-seen across paths in order
@@ -242,12 +243,15 @@ def rehydrate(base: np.ndarray, ring: np.ndarray, order: list[int],
             uk, first, inv = np.unique(keys, return_index=True,
                                        return_inverse=True)
             wsum = np.bincount(inv, weights=ws).astype(np.int64)
-            for pos in np.argsort(first, kind="stable"):
-                u = int(uk[pos]) // V
-                v = int(uk[pos]) % V
-                g.edge_w[(u, v)] = int(wsum[pos])
-                g.succs[u].append(v)
-                g.preds[v].append(u)
+            sel = np.argsort(first, kind="stable")
+            ue = (uk[sel] // V).tolist()
+            ve = (uk[sel] % V).tolist()
+            we = wsum[sel].tolist()
+            succs, preds, edge_w = g.succs, g.preds, g.edge_w
+            for u, v, w in zip(ue, ve, we):
+                edge_w[(u, v)] = w
+                succs[u].append(v)
+                preds[v].append(u)
     g.seq_paths = [np.asarray(p, dtype=np.int64).tolist() for p in paths]
     g.seq_weights = list(weights)
     g._topo = list(order)

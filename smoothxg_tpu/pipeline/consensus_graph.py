@@ -373,8 +373,9 @@ def create_consensus_graph(
     if to_drop:
         for n in to_drop:
             cg.destroy_handle(n << 1)
-        cg = cg.unchop()
-    cg = cg.compact(cg.topological_order())
+    # the reference re-unchops after the drop (:1010-1018); the fused
+    # native unchop+toposort call covers that pass and the final renumber
+    cg = cg.unchop_toposort()
     Log.info("consensus_graph",
              f"final graph {cg.total_seq_len()}bp in {cg.node_count()} nodes")
     return cg

@@ -620,8 +620,7 @@ def _finalize_block(idx: FlatIndex, st: _BlockState, add_consensus: bool,
         bg.path_steps[pid] = [remap[v] << 1 for v in cons_steps]
 
     bg.create_edges_from_paths()
-    bg = bg.unchop()
-    bg = bg.compact(bg.topological_order())
+    bg = bg.unchop_toposort()
 
     groom_flip = False
     if st.ranges:
