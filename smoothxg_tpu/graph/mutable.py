@@ -336,15 +336,34 @@ class MutableGraph:
                     path_names) -> "MutableGraph":
         g = cls()
         n = len(node_off) - 1
-        sb = bytes(seq_buf)
-        for i in range(n):
-            g.create_handle(sb[node_off[i]:node_off[i + 1]].decode())
-        for i in range(0, len(edges), 2):
-            g.create_edge(int(edges[i]), int(edges[i + 1]))
+        # bulk node load (ids dense 1..n by construction)
+        s = bytes(seq_buf).decode()
+        off = np.asarray(node_off, dtype=np.int64).tolist()
+        g.seqs = {i + 1: s[off[i]:off[i + 1]] for i in range(n)}
+        g._order = list(range(1, n + 1))
+        g._next_id = n + 1
+        # bulk edges: same insertion order as create_edge, with an O(1)
+        # seen-set replacing the per-edge adjacency list scan
+        ea = np.asarray(edges, dtype=np.int64)
+        if len(ea):
+            a, b = ea[0::2], ea[1::2]
+            sa_l = ((a >> 1 << 1) | (1 - (a & 1))).tolist()   # out_side
+            sb_l = ((b >> 1 << 1) | (b & 1)).tolist()         # in_side
+            adj = g.adj
+            seen: set[int] = set()
+            for sa, sb in zip(sa_l, sb_l):
+                key = (sa << 32) | sb
+                if key in seen:
+                    continue
+                seen.add(key)
+                adj.setdefault(sa, []).append(sb)
+                if sa != sb:
+                    adj.setdefault(sb, []).append(sa)
+        sarr = np.asarray(steps, dtype=np.int64)
+        offp = np.asarray(path_off, dtype=np.int64).tolist()
         for p, name in enumerate(path_names):
             pid = g.create_path(name)
-            g.path_steps[pid] = [int(h) for h in
-                                 steps[path_off[p]:path_off[p + 1]]]
+            g.path_steps[pid] = sarr[offp[p]:offp[p + 1]].tolist()
         return g
 
     def _native_unchop(self) -> "MutableGraph | None":

@@ -224,10 +224,16 @@ def rehydrate(base: np.ndarray, ring: np.ndarray, order: list[int],
     # first-seen scan order ascending == group ids ordered by cycle min
     uniq, group_of = np.unique(mins, return_inverse=True)
     g.group = group_of.tolist()
-    # members sorted by (gid, v): a stable argsort of gid, split at counts
-    bounds = np.cumsum(np.bincount(group_of, minlength=len(uniq)))[:-1]
-    g.group_members = [m.tolist() for m in np.split(
-        np.argsort(group_of, kind="stable"), bounds)]
+    # members sorted by (gid, v): a stable argsort of gid, sliced at the
+    # per-group counts (plain list slices — np.split is python-loopy)
+    members = np.argsort(group_of, kind="stable").tolist()
+    bounds = np.cumsum(np.bincount(group_of, minlength=len(uniq))).tolist()
+    lo = 0
+    gm = []
+    for hi in bounds:
+        gm.append(members[lo:hi])
+        lo = hi
+    g.group_members = gm
 
     # edges: consecutive path entries, weights summed per distinct (u, v);
     # succ/pred slot order preserved as first-seen across paths in order
