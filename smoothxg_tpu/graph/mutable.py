@@ -257,25 +257,50 @@ class MutableGraph:
             order = [n for n in self._order if n in self.seqs]
         flips = flips or set()
         g = MutableGraph()
-        remap: dict[int, int] = {}
+        n = len(order)
+        seqs: dict[int, str] = {}
         for new_id, old_id in enumerate(order, start=1):
-            seq = self.seqs[old_id]
-            if old_id in flips:
-                seq = revcomp(seq)
-            g.create_handle(seq, new_id)
-            remap[old_id] = new_id
+            s = self.seqs[old_id]
+            seqs[new_id] = revcomp(s) if old_id in flips else s
+        g.seqs = seqs
+        g._order = list(range(1, n + 1))
+        g._next_id = n + 1
 
-        def remap_handle(h: int) -> int:
-            n, r = hid(h), hrev(h)
-            if n in flips:
-                r = not r
-            return handle(remap[n], r)
+        # vectorized handle remap: new = (lut[id] << 1) | (rev ^ flip[id])
+        maxid = max(order) if order else 0
+        lut = np.zeros(maxid + 1, dtype=np.int64)
+        lut[np.asarray(order, dtype=np.int64)] = np.arange(
+            1, n + 1, dtype=np.int64)
+        fl = np.zeros(maxid + 1, dtype=np.int64)
+        if flips:
+            fl[np.fromiter(flips, dtype=np.int64, count=len(flips))] = 1
 
-        for a, b in self.edges():
-            g.create_edge(remap_handle(a), remap_handle(b))
+        def remap_vec(h: np.ndarray) -> np.ndarray:
+            nid = h >> 1
+            return (lut[nid] << 1) | ((h & 1) ^ fl[nid])
+
+        epairs = list(self.edges())
+        if epairs:
+            ea = remap_vec(np.asarray(epairs, dtype=np.int64))
+            a, b = ea[:, 0], ea[:, 1]
+            # identical to create_edge per pair in edges() order, with an
+            # O(1) seen-set replacing the adjacency list scan
+            sa_l = ((a >> 1 << 1) | (1 - (a & 1))).tolist()   # out_side
+            sb_l = ((b >> 1 << 1) | (b & 1)).tolist()         # in_side
+            adj = g.adj
+            seen: set[int] = set()
+            for sa, sb in zip(sa_l, sb_l):
+                key = (sa << 32) | sb
+                if key in seen:
+                    continue
+                seen.add(key)
+                adj.setdefault(sa, []).append(sb)
+                if sa != sb:
+                    adj.setdefault(sb, []).append(sa)
         for name, steps in zip(self.path_names, self.path_steps):
             pid = g.create_path(name)
-            g.path_steps[pid] = [remap_handle(h) for h in steps]
+            g.path_steps[pid] = remap_vec(
+                np.asarray(steps, dtype=np.int64)).tolist()
         return g
 
     def chop(self, max_len: int) -> "MutableGraph":
