@@ -147,6 +147,28 @@ class MutableGraph:
         if sb in self.adj and sa != sb:
             self.adj[sb] = [s for s in self.adj[sb] if s != sa]
 
+    def edges_array(self) -> np.ndarray:
+        """All canonical edges as an (m, 2) int64 handle-pair array, in the
+        same first-seen order as edges() — the per-yield generator cost
+        dominates to_arrays/compact on big graphs."""
+        items = [(sa, lst) for sa, lst in self.adj.items() if lst]
+        if not items:
+            return np.zeros((0, 2), dtype=np.int64)
+        from itertools import chain, repeat
+        total = sum(len(lst) for _, lst in items)
+        sa = np.fromiter(chain.from_iterable(
+            repeat(s, len(lst)) for s, lst in items), np.int64, count=total)
+        sb = np.fromiter(chain.from_iterable(
+            lst for _, lst in items), np.int64, count=total)
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        _, first = np.unique((lo << 32) | hi, return_index=True)
+        sel = np.sort(first)                   # first-seen canonical order
+        ka, kb = lo[sel], hi[sel]
+        a = (ka >> 1 << 1) | (1 - (ka & 1))    # side_to_handle_exiting
+        b = (kb >> 1 << 1) | (kb & 1)          # side_to_handle_entering
+        return np.stack([a, b], axis=1)
+
     def edges(self) -> Iterable[tuple[int, int]]:
         """Yield canonical edges as (handle_from, handle_to)."""
         seen = set()
@@ -229,13 +251,20 @@ class MutableGraph:
             return
         packed = np.unique(np.concatenate(chunks))
         adj = self.adj
+        # directed-key set of current adjacency (x -> y present iff edge
+        # exists) replaces the per-key list scan
+        existing: set[int] = set()
+        for x, lst in adj.items():
+            for y in lst:
+                existing.add((x << 32) | y)
         for key in packed.tolist():
-            x, y = key >> 32, key & 0xFFFFFFFF
-            lst = adj.setdefault(x, [])
-            if y in lst:
+            if key in existing:
                 continue
-            lst.append(y)
+            x, y = key >> 32, key & 0xFFFFFFFF
+            existing.add(key)
+            adj.setdefault(x, []).append(y)
             if x != y:
+                existing.add((y << 32) | x)
                 adj.setdefault(y, []).append(x)
 
     def steps_index(self) -> dict[int, list[tuple[int, int]]]:
@@ -279,9 +308,9 @@ class MutableGraph:
             nid = h >> 1
             return (lut[nid] << 1) | ((h & 1) ^ fl[nid])
 
-        epairs = list(self.edges())
-        if epairs:
-            ea = remap_vec(np.asarray(epairs, dtype=np.int64))
+        epairs = self.edges_array()
+        if len(epairs):
+            ea = remap_vec(epairs)
             a, b = ea[:, 0], ea[:, 1]
             # identical to create_edge per pair in edges() order, with an
             # O(1) seen-set replacing the adjacency list scan
@@ -346,11 +375,7 @@ class MutableGraph:
         seq_buf = np.frombuffer(seq_cat.encode(), dtype=np.uint8).copy()
         node_off = np.zeros(n + 1, dtype=np.int64)
         node_off[1:] = np.cumsum([len(self.seqs[i]) for i in ids])
-        epairs: list[int] = []
-        for a, b in self.edges():
-            epairs.append(a)
-            epairs.append(b)
-        edges = np.array(epairs, dtype=np.int64)
+        edges = self.edges_array().ravel()
         path_off = np.zeros(len(self.path_steps) + 1, dtype=np.int64)
         path_off[1:] = np.cumsum([len(s) for s in self.path_steps])
         steps = np.array([h for s in self.path_steps for h in s], dtype=np.int64)
