@@ -63,6 +63,7 @@ def run_ctest_cpu(timeout_s: float = 600.0):
     3700X (test/performance/check.md:5-16).  Runs in a subprocess with the
     axon plugin disabled so it cannot contend for the single-client TPU
     tunnel this process may hold.  Returns wall seconds or None."""
+    import shutil
     import subprocess
     cpu_env = dict(os.environ)
     cpu_env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -72,16 +73,21 @@ def run_ctest_cpu(timeout_s: float = 600.0):
             "gi_568815592_32578768-32589835.txt")
     t0 = time.time()
     try:
+        # cwd=ctest_dir: the consensus spec basenames are relative, so the
+        # consensus@*.gfa outputs must land in the temp dir, not the CWD
         rc = subprocess.run(
             [sys.executable, "-m", "smoothxg_tpu.cli", "-t", "2",
              "--engine", "native", "-g", REF_GFA, "-j", "5k", "-e", "5k",
              "-l", "700,900,1100", "-m", os.path.join(ctest_dir, "o.maf"),
              "-C", f"consensus,10,100:{refs}:y,1000,10000",
              "-o", os.path.join(ctest_dir, "o.gfa"), "-r", "12"],
-            env=cpu_env, timeout=timeout_s, capture_output=True).returncode
+            env=cpu_env, cwd=ctest_dir, timeout=timeout_s,
+            capture_output=True).returncode
         return round(time.time() - t0, 2) if rc == 0 else None
     except subprocess.TimeoutExpired:   # pragma: no cover
         return None
+    finally:
+        shutil.rmtree(ctest_dir, ignore_errors=True)
 
 
 def main() -> int:

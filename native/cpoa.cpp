@@ -27,6 +27,8 @@
 using std::vector;
 
 #ifdef CPOA_PROF
+// Profiling builds only; accumulators are not thread-safe — profile with
+// a single-threaded engine.
 #include <chrono>
 static double prof_acc[8];   // assign, pred, fill, end, tb, thread, walk
 struct ProfT {
@@ -188,6 +190,11 @@ struct Plane {
             size_t c = std::max(need, cap * 2);
             buf.reset(new int32_t[c]);   // POD: stays uninitialized
             cap = c;
+        } else if (cap > (8u << 20) && cap > 8 * need) {
+            // high-water shrink: one outlier block must not pin 4 planes
+            // of its size per pool thread for the process lifetime
+            buf.reset(new int32_t[need]);
+            cap = need;
         }
         return buf.get();
     }
@@ -352,7 +359,7 @@ struct FusedPOA {
             // predecessor reductions restricted to [blo-1, bhi] (M reads
             // column j-1; cells outside stay whatever — never read)
             const int64_t clo = std::max<int64_t>(0, blo - 1);
-            PROF(1);
+            { PROF(1);
             if (ps.empty()) {
                 std::copy(Hr + clo, Hr + bhi + 1, hpmax + clo);
                 std::copy(E1r + clo, E1r + bhi + 1, e1p + clo);
@@ -371,6 +378,7 @@ struct FusedPOA {
                     }
                 }
             }
+            }
             int32_t bv = base[v];
             int64_t ri = i * W;
             PROF(2);
@@ -381,8 +389,8 @@ struct FusedPOA {
         }
 
         // ---- end cell ----
-        PROF(3);
         int64_t ei = 0, ej = 0;
+        { PROF(3);
         if (p.local) {
             // best_row/bi were tracked during the fill: the first row
             // holding the global max (strict improvements only), matching
@@ -401,6 +409,7 @@ struct FusedPOA {
                 if (Hr[i * W + L] > best) { best = Hr[i * W + L]; ei = i; }
             }
             ej = L;
+        }
         }
 
         // ---- traceback (value re-derivation; mirrors poa_host.align) ----

@@ -72,6 +72,29 @@ def side_to_handle_exiting(side: int) -> int:
     return (side >> 1 << 1) | (0 if side & 1 else 1)
 
 
+def _bulk_add_side_edges(adj: dict, sa_list, sb_list,
+                         preseed: bool = False) -> None:
+    """Append side adjacency for (out_side, in_side) pairs, preserving
+    input order and skipping duplicates of the same undirected edge in
+    EITHER direction — exactly create_edge's semantics, with an O(1)
+    canonical-key set replacing the per-edge adjacency list scan.  With
+    preseed=True the current adjacency counts as already-seen (merge
+    mode, as create_edges_from_paths needs)."""
+    seen: set[int] = set()
+    if preseed:
+        for x, lst in adj.items():
+            for y in lst:
+                seen.add((x << 32) | y if x <= y else (y << 32) | x)
+    for sa, sb in zip(sa_list, sb_list):
+        key = (sa << 32) | sb if sa <= sb else (sb << 32) | sa
+        if key in seen:
+            continue
+        seen.add(key)
+        adj.setdefault(sa, []).append(sb)
+        if sa != sb:
+            adj.setdefault(sb, []).append(sa)
+
+
 class MutableGraph:
     def __init__(self) -> None:
         self.seqs: dict[int, str] = {}          # node_id -> forward sequence
@@ -250,22 +273,8 @@ class MutableGraph:
         if not chunks:
             return
         packed = np.unique(np.concatenate(chunks))
-        adj = self.adj
-        # directed-key set of current adjacency (x -> y present iff edge
-        # exists) replaces the per-key list scan
-        existing: set[int] = set()
-        for x, lst in adj.items():
-            for y in lst:
-                existing.add((x << 32) | y)
-        for key in packed.tolist():
-            if key in existing:
-                continue
-            x, y = key >> 32, key & 0xFFFFFFFF
-            existing.add(key)
-            adj.setdefault(x, []).append(y)
-            if x != y:
-                existing.add((y << 32) | x)
-                adj.setdefault(y, []).append(x)
+        _bulk_add_side_edges(self.adj, (packed >> 32).tolist(),
+                             (packed & 0xFFFFFFFF).tolist(), preseed=True)
 
     def steps_index(self) -> dict[int, list[tuple[int, int]]]:
         """node_id -> [(path_id, step_rank)] over all paths."""
@@ -312,20 +321,9 @@ class MutableGraph:
         if len(epairs):
             ea = remap_vec(epairs)
             a, b = ea[:, 0], ea[:, 1]
-            # identical to create_edge per pair in edges() order, with an
-            # O(1) seen-set replacing the adjacency list scan
-            sa_l = ((a >> 1 << 1) | (1 - (a & 1))).tolist()   # out_side
-            sb_l = ((b >> 1 << 1) | (b & 1)).tolist()         # in_side
-            adj = g.adj
-            seen: set[int] = set()
-            for sa, sb in zip(sa_l, sb_l):
-                key = (sa << 32) | sb
-                if key in seen:
-                    continue
-                seen.add(key)
-                adj.setdefault(sa, []).append(sb)
-                if sa != sb:
-                    adj.setdefault(sb, []).append(sa)
+            _bulk_add_side_edges(g.adj,
+                                 ((a >> 1 << 1) | (1 - (a & 1))).tolist(),
+                                 ((b >> 1 << 1) | (b & 1)).tolist())
         for name, steps in zip(self.path_names, self.path_steps):
             pid = g.create_path(name)
             g.path_steps[pid] = remap_vec(
@@ -397,18 +395,9 @@ class MutableGraph:
         ea = np.asarray(edges, dtype=np.int64)
         if len(ea):
             a, b = ea[0::2], ea[1::2]
-            sa_l = ((a >> 1 << 1) | (1 - (a & 1))).tolist()   # out_side
-            sb_l = ((b >> 1 << 1) | (b & 1)).tolist()         # in_side
-            adj = g.adj
-            seen: set[int] = set()
-            for sa, sb in zip(sa_l, sb_l):
-                key = (sa << 32) | sb
-                if key in seen:
-                    continue
-                seen.add(key)
-                adj.setdefault(sa, []).append(sb)
-                if sa != sb:
-                    adj.setdefault(sb, []).append(sa)
+            _bulk_add_side_edges(g.adj,
+                                 ((a >> 1 << 1) | (1 - (a & 1))).tolist(),
+                                 ((b >> 1 << 1) | (b & 1)).tolist())
         sarr = np.asarray(steps, dtype=np.int64)
         offp = np.asarray(path_off, dtype=np.int64).tolist()
         for p, name in enumerate(path_names):
