@@ -111,6 +111,34 @@ def smoothable_blocks(
     step_rank = idx.step_rank
     node_steps_start = idx.node_steps_start
 
+    # longest edge jump in vector coordinates, precomputed for every node
+    # in one vectorized pass (static per graph; reference walks the node's
+    # edges per sweep step, src/blocks.cpp:264-282)
+    n_nodes = idx.n_nodes
+    ejump = np.zeros(n_nodes + 1, dtype=np.int64)
+    if max_edge_jump:
+        from itertools import chain
+        for adj_lists, off_add_src, off_add_nbr_rev in (
+                (idx._right, True, False), (idx._left, False, True)):
+            cnt = np.fromiter(
+                (len(adj_lists[v << 1]) for v in range(1, n_nodes + 1)),
+                np.int64, count=n_nodes)
+            total = int(cnt.sum())
+            if not total:
+                continue
+            nbr = np.fromiter(chain.from_iterable(
+                adj_lists[v << 1] for v in range(1, n_nodes + 1)),
+                np.int64, count=total)
+            src = np.repeat(np.arange(1, n_nodes + 1, dtype=np.int64), cnt)
+            nid = (nbr >> 1) - 1
+            # right: neighbor offset counts its length when reversed;
+            # left: when forward (mirrors follow_right/follow_left math)
+            rev_bit = (nbr & 1) if not off_add_nbr_rev else 1 - (nbr & 1)
+            ooff = node_off[nid] + rev_bit * node_len[nid]
+            base = node_off[src - 1] + (node_len[src - 1] if off_add_src
+                                        else 0)
+            np.maximum.at(ejump, src, np.abs(ooff - base))
+
     block_handles: list[int] = []        # node ids
     total_path_length = 0
     path_coverage: dict[int, list[int]] = {}   # pid -> [bp, n_steps]
@@ -190,18 +218,7 @@ def smoothable_blocks(
             est = int(bp / denom + 0.5) + handle_length  # C++ std::round
             max_path_length = max(max_path_length, est)
 
-        # longest edge jump in vector coordinates (reference: src/blocks.cpp:264-282)
-        longest_edge_jump = 0
-        if max_edge_jump:
-            h = node_id << 1
-            hoff = int(node_off[node_id - 1])
-            for o in idx.follow_right(h):
-                ooff = int(node_off[(o >> 1) - 1]) + (int(node_len[(o >> 1) - 1]) if o & 1 else 0)
-                longest_edge_jump = max(longest_edge_jump,
-                                        abs(ooff - (hoff + handle_length)))
-            for o in idx.follow_left(h):
-                ooff = int(node_off[(o >> 1) - 1]) + (0 if o & 1 else int(node_len[(o >> 1) - 1]))
-                longest_edge_jump = max(longest_edge_jump, abs(ooff - hoff))
+        longest_edge_jump = int(ejump[node_id])
 
         if block_handles and (
                 total_path_length + sequence_to_add > max_block_weight
