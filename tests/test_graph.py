@@ -142,3 +142,73 @@ def test_drb1_substrate(drb1_path):
     idx = FlatIndex(g2)
     for pid in range(idx.path_count()):
         assert idx.path_seq(pid) == orig[idx.get_path_name(pid)]
+
+
+# ---- bulk builders added in round 2 (edges_array, _bulk_add_side_edges,
+# unchop_toposort) ----
+
+def test_edges_array_matches_edges_generator():
+    g = tiny_graph()
+    g.create_edge(flip(g.get_handle(3)), flip(g.get_handle(1)))  # rev form
+    ea = g.edges_array()
+    assert [tuple(e) for e in ea.tolist()] == list(g.edges())
+
+
+def test_bulk_edge_load_dedups_reversed_duplicates():
+    # create_edge(flip(b), flip(a)) after create_edge(a, b) is a no-op;
+    # the bulk loaders must treat the reversed form as the same edge
+    g = tiny_graph()
+    seq_buf, node_off, edges, path_off, steps = g.to_arrays()
+    a, b = int(edges[0]), int(edges[1])
+    dup = np.concatenate([edges, [flip(b), flip(a)]])
+    g2 = MutableGraph.from_arrays(seq_buf, node_off, dup, path_off, steps,
+                                  g.path_names)
+    assert sorted(g2.edges()) == sorted(g.edges())
+    assert g2.degree_right(a) == g.degree_right(a)
+    assert g2.degree_left(b) == g.degree_left(b)
+
+
+def test_from_arrays_roundtrip_exact():
+    g = tiny_graph()
+    g2 = MutableGraph.from_arrays(*g.to_arrays(), g.path_names)
+    assert g2.seqs == g.seqs
+    assert g2.path_steps == g.path_steps
+    assert sorted(g2.edges()) == sorted(g.edges())
+    # same adjacency per side; slot order may differ (edges_array emits
+    # canonical first-seen order, not creation order) — downstream
+    # consumers are slot-order-insensitive
+    assert {k: sorted(v) for k, v in g2.adj.items()} == \
+           {k: sorted(v) for k, v in g.adj.items()}
+
+
+def test_unchop_toposort_equals_python_pair():
+    # a chain with a branch and a reverse traversal, so unchop merges some
+    # runs and toposort renumbers
+    g = MutableGraph()
+    hs = [g.create_handle(s) for s in ("AC", "GT", "TTG", "C", "AA")]
+    for x, y in zip(hs, hs[1:]):
+        g.create_edge(x, y)
+    g.create_edge(hs[0], hs[2])          # branch breaks one merge
+    p = g.create_path("w")
+    for h in hs:
+        g.append_step(p, h)
+    q = g.create_path("r")
+    g.append_step(q, flip(hs[4]))
+    g.append_step(q, flip(hs[3]))
+    a = g.unchop()
+    a = a.compact(a.topological_order())
+    b = g.unchop_toposort()
+    assert sorted(a.seqs.items()) == sorted(b.seqs.items())
+    assert sorted(a.edges()) == sorted(b.edges())
+    assert a.path_names == b.path_names
+    assert a.path_steps == b.path_steps
+
+
+def test_compact_with_flips_vectorized():
+    g = tiny_graph()
+    flips = {2}
+    out = g.compact(order=[3, 1, 2], flips=flips)
+    # path sequences preserved byte-exactly through renumber + flip
+    for pid, name in enumerate(g.path_names):
+        opid = out._name2path[name]
+        assert out.path_seq(opid) == g.path_seq(pid)
