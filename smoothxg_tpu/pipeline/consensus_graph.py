@@ -22,6 +22,8 @@ from __future__ import annotations
 import hashlib
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..graph.index import FlatIndex
 from ..graph.mutable import MutableGraph
 from ..utils.params import handy_parameter, split_csv
@@ -132,32 +134,35 @@ def create_consensus_graph(
 
     is_cons = set(cons_pids)
 
-    # node -> first consensus path touching it (reference: :167-184)
-    owner: dict[int, int] = {}
+    # node -> first consensus path touching it (reference: :167-184);
+    # flat array, first-wins across (ordered) consensus paths
+    n_nodes = smoothed.n_nodes
+    owner_arr = np.full(n_nodes + 1, -1, dtype=np.int64)
     for pid in cons_pids:
-        for h in smoothed.path_steps[pid]:
-            nid = int(h) >> 1
-            if nid not in owner:
-                owner[nid] = pid
+        u = np.unique(np.asarray(smoothed.path_steps[pid],
+                                 dtype=np.int64) >> 1)
+        u = u[owner_arr[u] < 0]
+        owner_arr[u] = pid
 
     # per consensus path: node -> (step position, step handle) of its LAST
     # step on that node — the value the reference's per-node scan leaves
-    # behind (:247-308).  Replaces a steps_on_node rescan per queried step.
-    cons_last_step: dict[int, dict[int, tuple[int, int]]] = {}
+    # behind (:247-308).  Flat (C, n_nodes+1) arrays; later steps
+    # overwrite earlier ones (last-wins, same as the dict fill).
+    cidx = {pid: i for i, pid in enumerate(cons_pids)}
+    cidx_arr = np.full(max(cons_pids) + 1, -1, dtype=np.int64)
+    last_pos = np.full((len(cons_pids), n_nodes + 1), -1, dtype=np.int64)
+    last_h = np.full((len(cons_pids), n_nodes + 1), -1, dtype=np.int64)
     for pid in cons_pids:
-        m: dict[int, tuple[int, int]] = {}
-        steps = smoothed.path_steps[pid]
-        pos = smoothed.path_pos[pid]
-        for r in range(len(steps)):
-            h = int(steps[r])
-            m[h >> 1] = (int(pos[r]), h)
-        cons_last_step[pid] = m
+        cidx_arr[pid] = cidx[pid]
+        st = np.asarray(smoothed.path_steps[pid], dtype=np.int64)
+        ps = np.asarray(smoothed.path_pos[pid][:len(st)], dtype=np.int64)
+        last_pos[cidx[pid], st >> 1] = ps
+        last_h[cidx[pid], st >> 1] = st
 
     def consensus_part(cons_pid: int, node_id: int) -> int:
         """position of the consensus step on this node -> begin/middle/end
         eighths (reference: :247-273)."""
-        hit = cons_last_step[cons_pid].get(node_id)
-        pos = hit[0] if hit is not None else -1
+        pos = int(last_pos[cidx[cons_pid], node_id])
         if pos < 0:
             return MIDDLE
         clen = smoothed.get_path_length(cons_pid)
@@ -167,81 +172,82 @@ def create_consensus_graph(
             return MIDDLE
         return END
 
-    def start_in_vector(h: int) -> int:
-        off = smoothed.node_vector_offset(h >> 1)
-        return off + (smoothed.get_length(h) if h & 1 else 0)
-
-    def end_in_vector(h: int) -> int:
-        off = smoothed.node_vector_offset(h >> 1)
-        return off if h & 1 else off + smoothed.get_length(h)
-
-    def consensus_distance(cons_pid: int, last_h: int, curr_h: int) -> int:
-        """reference: :275-308."""
-        start_pos = end_pos = -1
-        m = cons_last_step[cons_pid]
-        hit = m.get(last_h >> 1)
-        if hit is not None:
-            start_pos, sh = hit
-            if sh == last_h:
-                start_pos += smoothed.get_length(last_h)
-        hit = m.get(curr_h >> 1)
-        if hit is not None:
-            end_pos, eh = hit
-            if eh == (curr_h ^ 1):
-                end_pos += smoothed.get_length(last_h)
-        if start_pos >= 0 and end_pos >= 0:
-            return abs(end_pos - start_pos)
-        return -1
-
     # ---- link candidate emission (reference: :314-450) ----
+    # The reference's per-step state machine collapses to per-emission
+    # work: after EVERY anchored step (a step whose node has a consensus
+    # owner) the running link has begin == end == that step's rank — the
+    # jump-too-small branch and the emit branch both reset it — so an
+    # emission at anchored index i always has begin = aranks[i-1],
+    # end = aranks[i], from_cons = owner(i-1), and from_part/to_part
+    # pinned (equal) to the anchor where the link was created (the
+    # previous emission).  Jump values for same-owner anchor pairs
+    # vectorize: jump = min(|start_in_vector - end_in_vector|,
+    # consensus_distance) with consensus_distance computed from the
+    # last-step arrays above (reference: :275-308, incl. its use of
+    # last_h's length for the end adjustment).
     links: list[LinkPath] = []
     non_cons = [p for p in range(smoothed.path_count()) if p not in is_cons]
+    voff = smoothed.node_off
+    vlen = smoothed.node_len
     for pid in non_cons:
-        steps = smoothed.path_steps[pid]
-        link = None
-        for rank in range(len(steps)):
-            h = int(steps[rank])
-            nid = h >> 1
-            cur = owner.get(nid)
-            if cur is None:
-                continue
-            if link is None:
-                part = consensus_part(cur, nid)
-                link = LinkPath(cur, part, cur, part, pid=pid,
-                                begin=rank, end=rank)
-                continue
-            last_h = int(steps[link.end])
-            jump = 0
-            if link.from_cons == cur:
-                jump = min(abs(start_in_vector(h) - end_in_vector(last_h)),
-                           consensus_distance(cur, last_h, h))
-            if link.from_cons == cur and jump < min_allele_length:
-                link.begin = rank
-                link.end = rank
-                link.length = 0
-            else:
-                link.to_cons = cur
-                link.end = rank
-                seq = smoothed.range_seq(pid, link.begin + 1, link.end)
-                link.length = len(seq)
-                link.jump_length = jump
-                hb = int(steps[link.begin])
-                he = int(steps[link.end])
-                link.hash = _stable_hash(
-                    f"{link.from_cons}_{link.from_part}_{hb >> 1}_"
-                    f"{link.to_cons}_{link.to_part}_{he >> 1}_"
-                    f"{link.length}_{link.jump_length}_{seq}")
-                rev_b, rev_e = bool(hb & 1), bool(he & 1)
-                part_b = consensus_part(link.from_cons, hb >> 1)
-                part_e = consensus_part(link.to_cons, he >> 1)
-                if (rev_b and rev_e) or ((rev_b or rev_e)
-                                         and (hb >> 1, part_b) > (he >> 1, part_e)):
-                    link.from_cons, link.to_cons = link.to_cons, link.from_cons
-                    link.from_part, link.to_part = link.to_part, link.from_part
-                links.append(link)
-                part = consensus_part(cur, nid)
-                link = LinkPath(cur, part, cur, part, pid=pid,
-                                begin=rank, end=rank)
+        steps_a = np.asarray(smoothed.path_steps[pid], dtype=np.int64)
+        own_a = owner_arr[steps_a >> 1] if len(steps_a) else steps_a
+        am = own_a >= 0
+        aS = steps_a[am]
+        if not len(aS):
+            continue
+        acur = own_a[am]
+        aranks = np.nonzero(am)[0]
+        anid = aS >> 1
+        if len(aS) >= 2:
+            hp, hc = aS[:-1], aS[1:]
+            npd, ncd = (hp >> 1) - 1, (hc >> 1) - 1
+            lp = vlen[npd]
+            siv = voff[ncd] + (hc & 1) * vlen[ncd]
+            eiv = voff[npd] + (1 - (hp & 1)) * lp
+            c = cidx_arr[acur[1:]]
+            sp = last_pos[c, npd + 1]
+            start = np.where(sp >= 0,
+                             sp + (last_h[c, npd + 1] == hp) * lp, -1)
+            ep = last_pos[c, ncd + 1]
+            end = np.where(ep >= 0,
+                           ep + (last_h[c, ncd + 1] == (hc ^ 1)) * lp, -1)
+            cd = np.where((start >= 0) & (end >= 0),
+                          np.abs(end - start), -1)
+            jump_arr = np.minimum(np.abs(siv - eiv), cd)
+            same = acur[:-1] == acur[1:]
+            emit_idx = (np.nonzero(
+                ~same | (jump_arr >= min_allele_length))[0] + 1).tolist()
+        else:
+            same = jump_arr = np.zeros(0, dtype=np.int64)
+            emit_idx = []
+        part = consensus_part(int(acur[0]), int(anid[0]))
+        for i in emit_idx:
+            from_cons = int(acur[i - 1])
+            cur = int(acur[i])
+            begin = int(aranks[i - 1])
+            end_r = int(aranks[i])
+            jump = int(jump_arr[i - 1]) if same[i - 1] else 0
+            lk = LinkPath(from_cons, part, cur, part, pid=pid,
+                          begin=begin, end=end_r)
+            seq = smoothed.range_seq(pid, begin + 1, end_r)
+            lk.length = len(seq)
+            lk.jump_length = jump
+            hb = int(aS[i - 1])
+            he = int(aS[i])
+            lk.hash = _stable_hash(
+                f"{lk.from_cons}_{lk.from_part}_{hb >> 1}_"
+                f"{lk.to_cons}_{lk.to_part}_{he >> 1}_"
+                f"{lk.length}_{lk.jump_length}_{seq}")
+            rev_b, rev_e = bool(hb & 1), bool(he & 1)
+            part_b = consensus_part(lk.from_cons, hb >> 1)
+            part_e = consensus_part(lk.to_cons, he >> 1)
+            if (rev_b and rev_e) or ((rev_b or rev_e)
+                                     and (hb >> 1, part_b) > (he >> 1, part_e)):
+                lk.from_cons, lk.to_cons = lk.to_cons, lk.from_cons
+                lk.from_part, lk.to_part = lk.to_part, lk.from_part
+            links.append(lk)
+            part = consensus_part(cur, int(anid[i]))
 
     consensus_links: list[LinkPath] = []
     perfect_edges: list[tuple[int, int]] = []
