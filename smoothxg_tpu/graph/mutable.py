@@ -76,23 +76,58 @@ def _bulk_add_side_edges(adj: dict, sa_list, sb_list,
                          preseed: bool = False) -> None:
     """Append side adjacency for (out_side, in_side) pairs, preserving
     input order and skipping duplicates of the same undirected edge in
-    EITHER direction — exactly create_edge's semantics, with an O(1)
-    canonical-key set replacing the per-edge adjacency list scan.  With
-    preseed=True the current adjacency counts as already-seen (merge
-    mode, as create_edges_from_paths needs)."""
-    seen: set[int] = set()
-    if preseed:
-        for x, lst in adj.items():
-            for y in lst:
-                seen.add((x << 32) | y if x <= y else (y << 32) | x)
-    for sa, sb in zip(sa_list, sb_list):
-        key = (sa << 32) | sb if sa <= sb else (sb << 32) | sa
-        if key in seen:
-            continue
-        seen.add(key)
-        adj.setdefault(sa, []).append(sb)
-        if sa != sb:
-            adj.setdefault(sb, []).append(sa)
+    EITHER direction — exactly create_edge's semantics, fully vectorized
+    (canonical-key first-seen dedup, then a stable group-by over the
+    interleaved directed entries so each side's slot order matches the
+    per-edge append).  With preseed=True the current adjacency counts as
+    already-seen (merge mode, as create_edges_from_paths needs)."""
+    sa = np.asarray(sa_list, dtype=np.int64)
+    sb = np.asarray(sb_list, dtype=np.int64)
+    if not len(sa):
+        return
+    key = np.where(sa <= sb, (sa << 32) | sb, (sb << 32) | sa)
+    _, first = np.unique(key, return_index=True)
+    if preseed and adj:
+        from itertools import chain, repeat
+        items = [(x, lst) for x, lst in adj.items() if lst]
+        if items:
+            total = sum(len(lst) for _, lst in items)
+            ex = np.fromiter(chain.from_iterable(
+                repeat(x, len(lst)) for x, lst in items),
+                np.int64, count=total)
+            en = np.fromiter(chain.from_iterable(
+                lst for _, lst in items), np.int64, count=total)
+            ek = np.unique(np.where(ex <= en, (ex << 32) | en,
+                                    (en << 32) | ex))
+            keep = ~np.isin(key[first], ek)
+            first = first[keep]
+    sel = np.sort(first)
+    sa, sb = sa[sel], sb[sel]
+    m = len(sa)
+    if not m:
+        return
+    # directed entries in per-edge order: (sa,sb) then (sb,sa), dropping
+    # the mirror of self side loops (create_edge records those once)
+    ds = np.empty(2 * m, dtype=np.int64)
+    dn = np.empty(2 * m, dtype=np.int64)
+    ds[0::2], dn[0::2] = sa, sb
+    ds[1::2], dn[1::2] = sb, sa
+    valid = np.ones(2 * m, dtype=bool)
+    valid[1::2] = sa != sb
+    ds, dn = ds[valid], dn[valid]
+    order = np.argsort(ds, kind="stable")
+    dss, dns = ds[order], dn[order]
+    cut = np.nonzero(np.diff(dss))[0] + 1
+    starts = np.concatenate([[0], cut])
+    ends = np.concatenate([cut, [len(dss)]])
+    dl = dns.tolist()
+    for s, e, side in zip(starts.tolist(), ends.tolist(),
+                          dss[starts].tolist()):
+        lst = adj.get(side)
+        if lst is None:
+            adj[side] = dl[s:e]
+        else:
+            lst.extend(dl[s:e])
 
 
 class MutableGraph:
