@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstring>
 #include <memory>
+#include <type_traits>
 #include <vector>
 #include <algorithm>
 #ifdef __AVX512F__
@@ -182,33 +183,175 @@ static int32_t fill_row(const int32_t* hpmax, const int32_t* e1p,
 // memset bandwidth — measured at ~35% of the whole engine — and a fresh
 // allocation per block would pay the same cost again in first-touch page
 // faults inside the fill.
-struct Plane {
-    std::unique_ptr<int32_t[]> buf;
+template <typename T>
+struct PlaneT {
+    std::unique_ptr<T[]> buf;
     size_t cap = 0;
-    int32_t* ensure(size_t need) {
+    T* ensure(size_t need) {
         if (cap < need) {
             size_t c = std::max(need, cap * 2);
-            buf.reset(new int32_t[c]);   // POD: stays uninitialized
+            buf.reset(new T[c]);   // POD: stays uninitialized
             cap = c;
         } else if (cap > (8u << 20) && cap > 8 * need) {
             // high-water shrink: one outlier block must not pin 4 planes
             // of its size per pool thread for the process lifetime
-            buf.reset(new int32_t[need]);
+            buf.reset(new T[need]);
             cap = need;
         }
         return buf.get();
     }
-    int32_t* fill_neg(size_t need) {
-        int32_t* p = ensure(need);
-        std::fill_n(p, need, NEG);
+    T* fill_neg(size_t need, T negval) {
+        T* p = ensure(need);
+        std::fill_n(p, need, negval);
         return p;
     }
 };
 struct Scratch {
-    Plane H, Hq, E1, E2;            // (V+1) x (L+1), row-major
-    Plane hpmax, e1p, e2p;          // per-row predecessor reductions
+    PlaneT<int32_t> H, Hq, E1, E2;   // (V+1) x (L+1), row-major
+    PlaneT<int32_t> hpmax, e1p, e2p; // per-row predecessor reductions
+    PlaneT<int16_t> H16, Hq16, E116, E216;   // int16 local-mode planes
+    PlaneT<int16_t> hp16, e1p16, e2p16;
 };
 static thread_local Scratch g_scratch;
+
+// int16 local-mode floor for the E channels: any clamped value is below
+// every score that can win a max in local mode (hq >= 0, M >= -n), so
+// clamping is alignment-invisible (same argument as the Pallas kernel's
+// packed-int16 mode, ops/poa_pallas_fused.py)
+constexpr int32_t NEGS16 = -16000;
+
+
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+static inline int32_t hmax_epi16(__m512i v) {
+    __m256i a = _mm256_max_epi16(_mm512_castsi512_si256(v),
+                                 _mm512_extracti64x4_epi64(v, 1));
+    __m128i b = _mm_max_epi16(_mm256_castsi256_si128(a),
+                              _mm256_extracti128_si256(a, 1));
+    b = _mm_max_epi16(b, _mm_srli_si128(b, 8));
+    b = _mm_max_epi16(b, _mm_srli_si128(b, 4));
+    b = _mm_max_epi16(b, _mm_srli_si128(b, 2));
+    return (int16_t)_mm_extract_epi16(b, 0);
+}
+#endif
+
+// int16 local-mode row fill: 32 epi16 lanes (AVX-512BW).  The F scan is
+// the decayed log-step prefix max S[j] = max(S[j-1] - ext, hq[j] - open)
+// with saturation at INT16_MIN standing in for -inf; saturation commutes
+// with max (monotone) and saturated values are < 0 <= hq, so they can
+// never win h = max(hq, f1, f2) nor appear in a traceback re-derivation —
+// alignment-identical to the int32 closed form.  Caller guarantees
+// m*(L+1), g, q < ~14k and e, c < ~900 (see use16 in align()).
+static int32_t fill_row16(const int16_t* hpmax, const int16_t* e1p,
+                          const int16_t* e2p, const int8_t* seq, int32_t bv,
+                          const Params& p, int64_t blo, int64_t bhi,
+                          int16_t* Hrow, int16_t* Hqrow, int16_t* E1row,
+                          int16_t* E2row) {
+    int32_t r1 = INT16_MIN, r2 = INT16_MIN;   // S at the previous column
+    int32_t rm = INT16_MIN;
+    int64_t j = blo;
+    auto sat = [](int32_t x) {
+        return x < INT16_MIN ? (int32_t)INT16_MIN : x;
+    };
+    auto scalar_step = [&](int64_t jj) {
+        int32_t M = (jj == 0) ? (int32_t)INT16_MIN
+            : (int32_t)hpmax[jj - 1] + (seq[jj - 1] == bv ? p.m : -p.n);
+        int32_t e1 = std::max((int32_t)hpmax[jj] - p.g,
+                              (int32_t)e1p[jj] - p.e);
+        int32_t e2 = std::max((int32_t)hpmax[jj] - p.q,
+                              (int32_t)e2p[jj] - p.c);
+        if (e1 < NEGS16) e1 = NEGS16;
+        if (e2 < NEGS16) e2 = NEGS16;
+        int32_t hq = std::max(M, std::max(e1, e2));
+        if (hq < 0) hq = 0;                    // local mode only
+        int32_t h = std::max(hq, std::max(r1, r2));   // f(j) = S(j-1)
+        Hrow[jj] = (int16_t)h;
+        Hqrow[jj] = (int16_t)hq;
+        E1row[jj] = (int16_t)e1;
+        E2row[jj] = (int16_t)e2;
+        rm = std::max(rm, h);
+        r1 = sat(std::max(r1 - p.e, hq - p.g));
+        r2 = sat(std::max(r2 - p.c, hq - p.q));
+    };
+    if (j == 0) { scalar_step(0); ++j; }   // column 0 has no M term
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+    const __m512i vFLOOR = _mm512_set1_epi16(INT16_MIN);
+    const __m512i vNEGS = _mm512_set1_epi16((int16_t)NEGS16);
+    const __m512i vbv = _mm512_set1_epi16((int16_t)bv);
+    const __m512i vsm = _mm512_set1_epi16((int16_t)p.m);
+    const __m512i vsn = _mm512_set1_epi16((int16_t)-p.n);
+    const __m512i vg = _mm512_set1_epi16((int16_t)p.g);
+    const __m512i ve = _mm512_set1_epi16((int16_t)p.e);
+    const __m512i vq = _mm512_set1_epi16((int16_t)p.q);
+    const __m512i vc = _mm512_set1_epi16((int16_t)p.c);
+    const __m512i vzero = _mm512_setzero_si512();
+    __m512i vrm = vFLOOR;
+    // carry decay (i+1)*ext per lane, and shift-up tables for s=1,2,4,8,16
+    alignas(64) int16_t ibuf[32];
+    for (int i = 0; i < 32; ++i) ibuf[i] = (int16_t)(i + 1);
+    const __m512i iota1 = _mm512_load_si512((const void*)ibuf);
+    const __m512i dec1 = _mm512_mullo_epi16(iota1, ve);
+    const __m512i dec2 = _mm512_mullo_epi16(iota1, vc);
+    __m512i shidx[5], dst1[5], dst2[5];
+    __mmask32 shmask[5];
+    for (int t = 0, s = 1; t < 5; ++t, s <<= 1) {
+        for (int i = 0; i < 32; ++i) ibuf[i] = (int16_t)((i - s) & 31);
+        shidx[t] = _mm512_load_si512((const void*)ibuf);
+        shmask[t] = (__mmask32)(~0u << s);
+        dst1[t] = _mm512_set1_epi16((int16_t)(s * p.e));
+        dst2[t] = _mm512_set1_epi16((int16_t)(s * p.c));
+    }
+    for (; j + 32 <= bhi + 1; j += 32) {
+        __m512i hp1 = _mm512_loadu_si512((const void*)(hpmax + j - 1));
+        __m512i hp = _mm512_loadu_si512((const void*)(hpmax + j));
+        __m512i ep1 = _mm512_loadu_si512((const void*)(e1p + j));
+        __m512i ep2 = _mm512_loadu_si512((const void*)(e2p + j));
+        __m256i sb = _mm256_loadu_si256((const __m256i*)(seq + j - 1));
+        __m512i sc = _mm512_cvtepi8_epi16(sb);
+        __mmask32 eq = _mm512_cmpeq_epi16_mask(sc, vbv);
+        __m512i M = _mm512_adds_epi16(hp1,
+                                      _mm512_mask_blend_epi16(eq, vsn, vsm));
+        __m512i e1v = _mm512_max_epi16(_mm512_subs_epi16(hp, vg),
+                                       _mm512_subs_epi16(ep1, ve));
+        e1v = _mm512_max_epi16(e1v, vNEGS);
+        __m512i e2v = _mm512_max_epi16(_mm512_subs_epi16(hp, vq),
+                                       _mm512_subs_epi16(ep2, vc));
+        e2v = _mm512_max_epi16(e2v, vNEGS);
+        __m512i hq = _mm512_max_epi16(M, _mm512_max_epi16(e1v, e2v));
+        hq = _mm512_max_epi16(hq, vzero);
+        _mm512_storeu_si512((void*)(Hqrow + j), hq);
+        _mm512_storeu_si512((void*)(E1row + j), e1v);
+        _mm512_storeu_si512((void*)(E2row + j), e2v);
+        __m512i s1 = _mm512_subs_epi16(hq, vg);
+        __m512i s2 = _mm512_subs_epi16(hq, vq);
+        for (int t = 0; t < 5; ++t) {
+            __m512i sh1 = _mm512_mask_blend_epi16(
+                shmask[t], vFLOOR, _mm512_permutexvar_epi16(shidx[t], s1));
+            s1 = _mm512_max_epi16(s1, _mm512_subs_epi16(sh1, dst1[t]));
+            __m512i sh2 = _mm512_mask_blend_epi16(
+                shmask[t], vFLOOR, _mm512_permutexvar_epi16(shidx[t], s2));
+            s2 = _mm512_max_epi16(s2, _mm512_subs_epi16(sh2, dst2[t]));
+        }
+        __m512i cr1 = _mm512_set1_epi16((int16_t)r1);
+        __m512i cr2 = _mm512_set1_epi16((int16_t)r2);
+        s1 = _mm512_max_epi16(s1, _mm512_subs_epi16(cr1, dec1));
+        s2 = _mm512_max_epi16(s2, _mm512_subs_epi16(cr2, dec2));
+        __m512i f1 = _mm512_mask_blend_epi16(
+            shmask[0], cr1, _mm512_permutexvar_epi16(shidx[0], s1));
+        __m512i f2 = _mm512_mask_blend_epi16(
+            shmask[0], cr2, _mm512_permutexvar_epi16(shidx[0], s2));
+        __m512i h = _mm512_max_epi16(hq, _mm512_max_epi16(f1, f2));
+        vrm = _mm512_max_epi16(vrm, h);
+        _mm512_storeu_si512((void*)(Hrow + j), h);
+        __m128i t1 = _mm512_extracti32x4_epi32(s1, 3);
+        __m128i t2 = _mm512_extracti32x4_epi32(s2, 3);
+        r1 = (int16_t)_mm_extract_epi16(t1, 7);
+        r2 = (int16_t)_mm_extract_epi16(t2, 7);
+    }
+    rm = std::max(rm, hmax_epi16(vrm));
+#endif
+    for (; j <= bhi; ++j) scalar_step(j);
+    return rm;
+}
 
 struct FusedPOA {
     int ring_cap;
@@ -272,33 +415,59 @@ struct FusedPOA {
     }
 
     // DP fill + traceback; fills `target` (seq pos -> node id, -2 = none,
-    // -1 = aligned to the virtual source i.e. unaligned insertion)
+    // -1 = aligned to the virtual source i.e. unaligned insertion).
+    // Local-mode rows with scores provably inside int16 run on int16
+    // planes (half the plane bandwidth, 32 epi16 lanes); everything else
+    // uses the int32 path.  The two are alignment-identical (fill_row16).
     void align(const int8_t* seq, int64_t L, const Params& p,
                vector<int32_t>& target) {
         { PROF(6); walk(); }
+        const bool use16 = p.local && p.wb < 0
+            && (int64_t)p.m * (L + 1) < 30000
+            && p.n < 14000 && p.g < 14000 && p.q < 14000
+            && p.e < 900 && p.c < 900;
+        if (use16) align_impl<int16_t>(seq, L, p, target);
+        else align_impl<int32_t>(seq, L, p, target);
+    }
+
+    template <typename T>
+    void align_impl(const int8_t* seq, int64_t L, const Params& p,
+                    vector<int32_t>& target) {
+        constexpr bool IS16 = std::is_same_v<T, int16_t>;
+        constexpr int32_t NEGT = IS16 ? NEGS16 : NEG;
         const int64_t V = (int64_t)order.size();
         const int64_t W = L + 1;
         const bool banded = p.wb >= 0;
         const size_t need = (size_t)(V + 1) * W;
         Scratch& S = g_scratch;
-        int32_t *Hr, *Hqr, *E1r, *E2r;
+        T *Hr, *Hqr, *E1r, *E2r;
         { PROF(0);
         if (banded) {
             // banded rows leave out-of-window cells unwritten but they are
             // still read (successor windows, end-cell scan) — keep the NEG
-            // clear
-            Hr = S.H.fill_neg(need);
-            Hqr = S.Hq.fill_neg(need);
-            E1r = S.E1.fill_neg(need);
-            E2r = S.E2.fill_neg(need);
+            // clear.  (banded implies the int32 path; use16 excludes it.)
+            if constexpr (IS16) { __builtin_unreachable(); }
+            else {
+                Hr = S.H.fill_neg(need, NEG);
+                Hqr = S.Hq.fill_neg(need, NEG);
+                E1r = S.E1.fill_neg(need, NEG);
+                E2r = S.E2.fill_neg(need, NEG);
+            }
         } else {
             // unbanded: every cell of rows 1..V over [0, W) is written
             // before any read and row 0 is initialized below — the planes
             // stay uninitialized
-            Hr = S.H.ensure(need);
-            Hqr = S.Hq.ensure(need);
-            E1r = S.E1.ensure(need);
-            E2r = S.E2.ensure(need);
+            if constexpr (IS16) {
+                Hr = S.H16.ensure(need);
+                Hqr = S.Hq16.ensure(need);
+                E1r = S.E116.ensure(need);
+                E2r = S.E216.ensure(need);
+            } else {
+                Hr = S.H.ensure(need);
+                Hqr = S.Hq.ensure(need);
+                E1r = S.E1.ensure(need);
+                E2r = S.E2.ensure(need);
+            }
         }
         }
 
@@ -307,13 +476,16 @@ struct FusedPOA {
         } else {
             Hr[0] = 0; Hqr[0] = 0;
             for (int64_t j = 1; j < W; ++j)
-                Hr[j] = std::max(-(p.g + (int32_t)(j - 1) * p.e),
-                                 -(p.q + (int32_t)(j - 1) * p.c));
+                Hr[j] = (T)std::max(-(p.g + (int32_t)(j - 1) * p.e),
+                                    -(p.q + (int32_t)(j - 1) * p.c));
             if (!banded)
-                for (int64_t j = 1; j < W; ++j) Hqr[j] = NEG;
+                for (int64_t j = 1; j < W; ++j) Hqr[j] = (T)NEGT;
         }
         if (!banded)
-            for (int64_t j = 0; j < W; ++j) { E1r[j] = NEG; E2r[j] = NEG; }
+            for (int64_t j = 0; j < W; ++j) {
+                E1r[j] = (T)NEGT;
+                E2r[j] = (T)NEGT;
+            }
 
         // adaptive band: per-node min/max topological rank (1 + min/max
         // over predecessors; identical to ops/poa_host.node_ranks)
@@ -344,9 +516,16 @@ struct FusedPOA {
         // in local mode, so it can never hold the strictly-positive best)
         int32_t best_row = NEG;
         int64_t bi = 0;
-        int32_t* hpmax = S.hpmax.ensure(W);
-        int32_t* e1p = S.e1p.ensure(W);
-        int32_t* e2p = S.e2p.ensure(W);
+        T *hpmax, *e1p, *e2p;
+        if constexpr (IS16) {
+            hpmax = S.hp16.ensure(W);
+            e1p = S.e1p16.ensure(W);
+            e2p = S.e2p16.ensure(W);
+        } else {
+            hpmax = S.hpmax.ensure(W);
+            e1p = S.e1p.ensure(W);
+            e2p = S.e2p.ensure(W);
+        }
         for (int64_t i = 1; i <= V; ++i) {
             int32_t v = order[i - 1];
             const auto& ps = preds[v];
@@ -382,9 +561,13 @@ struct FusedPOA {
             int32_t bv = base[v];
             int64_t ri = i * W;
             PROF(2);
-            int32_t rmax = fill_row(hpmax, e1p, e2p,
-                                    seq, bv, p, blo, bhi, Hr + ri, Hqr + ri,
-                                    E1r + ri, E2r + ri);
+            int32_t rmax;
+            if constexpr (IS16)
+                rmax = fill_row16(hpmax, e1p, e2p, seq, bv, p, blo, bhi,
+                                  Hr + ri, Hqr + ri, E1r + ri, E2r + ri);
+            else
+                rmax = fill_row(hpmax, e1p, e2p, seq, bv, p, blo, bhi,
+                                Hr + ri, Hqr + ri, E1r + ri, E2r + ri);
             if (p.local && rmax > best_row) { best_row = rmax; bi = i; }
         }
 
@@ -398,7 +581,7 @@ struct FusedPOA {
             // band cells are NEG and can never tie a positive best
             if (best_row <= 0) { target.assign(L, -2); return; }
             ei = bi;
-            const int32_t* row = Hr + bi * W;
+            const T* row = Hr + bi * W;
             int64_t t = 0;
             while (row[t] != best_row) ++t;
             ej = t;
@@ -476,7 +659,7 @@ struct FusedPOA {
             } else {
                 int32_t op = (chan == 2) ? p.g : p.q;
                 int32_t ex = (chan == 2) ? p.e : p.c;
-                const int32_t* Em = (chan == 2) ? E1r : E2r;
+                const T* Em = (chan == 2) ? E1r : E2r;
                 int32_t v = order[i - 1];
                 (void)v;   // deletion consumes node; nothing recorded in target
                 const auto& ps = preds[v];

@@ -956,7 +956,7 @@ class FusedPallasEngine:
     # rows/s on a v5e through the axon tunnel).  The device rate is
     # re-estimated online after every batch run (EMA), so the constants
     # only steer the first run.
-    NATIVE_CELLS_PS = 120e6   # AVX-512 fill + uninitialized-plane arena
+    NATIVE_CELLS_PS = 200e6   # int16 AVX-512BW fill (native/cpoa.cpp)
     DEV_ROWS_PS = 500e3
 
     def __init__(self, max_seqs: int = 48, max_batch: int = 64,
