@@ -460,12 +460,18 @@ class MutableGraph:
         compact's per-node/per-step rebuild."""
         from ..native_bindings import unchop_arrays
         ids = [n for n in self._order if n in self.seqs]
-        if ids == list(range(1, len(ids) + 1)):
-            out = unchop_arrays(*self.to_arrays(), do_unchop=True,
-                                do_toposort=True)
-            if out is not None:
-                return MutableGraph.from_arrays(*out, self.path_names)
-        g = self.unchop()
+        src = self
+        if ids != list(range(1, len(ids) + 1)):
+            # non-dense ids (e.g. after destroy_handle): a storage-order
+            # renumber changes nothing the native pass depends on — unchop
+            # merges are structural and the final numbering comes from the
+            # toposort, whose storage-rank tie-break this preserves
+            src = self.compact()
+        out = unchop_arrays(*src.to_arrays(), do_unchop=True,
+                            do_toposort=True)
+        if out is not None:
+            return MutableGraph.from_arrays(*out, src.path_names)
+        g = src.unchop()
         return g.compact(g.topological_order())
 
     def unchop(self, native: bool = True) -> "MutableGraph":
