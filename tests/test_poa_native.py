@@ -120,3 +120,22 @@ def test_native_engine_pooled_matches_serial():
         assert a.seq_paths == b.seq_paths
         assert a.group == b.group
         assert a.consensus_path() == b.consensus_path()
+
+
+def test_native_int16_int32_dispatch_boundary():
+    """The native engine routes local-mode rows to int16 planes when
+    m*(L+1) < 30000 (native/cpoa.cpp align()); a large match score pushes
+    the same sequences onto the int32 path.  Both must match the oracle
+    bit-for-bit."""
+    rng = np.random.default_rng(163)
+    base = "".join("ACGT"[i] for i in rng.integers(0, 4, 400))
+    seqs = [base]
+    for _ in range(3):
+        b = list(base)
+        for pos in rng.integers(0, len(b), 14):
+            b[pos] = "ACGT"[rng.integers(0, 4)]
+        seqs.append("".join(b))
+    # m=2: 2*401 < 30000 -> int16 path
+    assert_parity(seqs, POAParams(2, 4, 4, 2, 24, 1, local=True))
+    # m=80: 80*401 > 30000 -> int32 path, same alignment semantics scaled
+    assert_parity(seqs, POAParams(80, 160, 160, 80, 960, 40, local=True))
