@@ -86,6 +86,39 @@ def ensure_backend(max_wait_s: float = 120.0) -> None:
 
 
 _cache_enabled = False
+_device_ok: bool | None = None
+
+
+def device_reachable(timeout_s: float = 240.0) -> bool:
+    """True when the JAX device backend can initialize.
+
+    A dead axon tunnel makes jax.devices() block FOREVER inside PJRT init
+    (a nanosleep retry loop), so the probe runs `jax.devices()` in a
+    subprocess with a hard timeout.  Only meaningful (and only paid) when
+    an axon tunnel is configured — other backends return True immediately.
+    Result is cached per process."""
+    global _device_ok
+    if _device_ok is not None:
+        return _device_ok
+    import os
+    if not os.environ.get("PALLAS_AXON_POOL_IPS") or \
+            os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        _device_ok = True
+        return True
+    import subprocess
+    import sys
+    timeout_s = float(os.environ.get("SMOOTHXG_DEVICE_PROBE_S", timeout_s))
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            timeout=timeout_s, capture_output=True, text=True)
+        _device_ok = (out.returncode == 0 and out.stdout.strip().isdigit())
+    except subprocess.TimeoutExpired:
+        _device_ok = False
+    if _device_ok:
+        import time
+        time.sleep(15)   # single-client tunnel cooldown after the probe
+    return _device_ok
 
 
 def _enable_compile_cache() -> None:

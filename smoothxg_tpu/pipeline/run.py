@@ -100,6 +100,25 @@ def _make_engine(cfg: Config):
         from ..ops.poa_pallas import PallasPOAEngine
         return PallasPOAEngine()
     if cfg.engine == "fused":
+        from ..ops.poa_jax import device_reachable
+        if not device_reachable():
+            # a dead axon tunnel hangs PJRT init forever — degrade to the
+            # native engine instead of wedging the whole run, and pin JAX
+            # to the CPU platform so later stages (SGD prep) that call
+            # jax.devices() don't re-trigger the hung axon backend init.
+            # jax is already imported here, so the JAX_PLATFORMS env var is
+            # ignored — the post-import config knob is the only one that
+            # still takes effect.
+            import os
+            os.environ["JAX_PLATFORMS"] = "cpu"   # for child processes
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            from ..utils.progress import Log
+            Log.info("engine", "WARNING: TPU backend unreachable (tunnel "
+                     "down) — falling back to the native C++ engine")
+            from ..ops.poa_native import NativePOAEngine
+            return NativePOAEngine(
+                threads=cfg.poa_threads or cfg.threads or 1)
         from ..ops.poa_pallas_fused import FusedPallasEngine
         return FusedPallasEngine(
             threads=cfg.poa_threads or cfg.threads or 1)
