@@ -98,6 +98,45 @@ def _compiled_run(B: int, iter_max: int):
     return run
 
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    """ctypes handle to native/libsgd.so (sequential/Hogwild host backend);
+    None when unavailable."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE is not None or _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+    import subprocess
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "native", "libsgd.so")
+    if not os.path.exists(path):
+        try:
+            subprocess.run(["make", "-C", os.path.dirname(path), "libsgd.so"],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    f64 = ctypes.c_double
+    p32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    pd = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.sgd_solve.restype = None
+    lib.sgd_solve.argtypes = [i64, p32, pd, p32, p32, i64, pd, i64, f64,
+                              f64, f64, i64, ctypes.c_uint64,
+                              ctypes.c_int32, pd]
+    _NATIVE = lib
+    return _NATIVE
+
+
 def path_sgd_order(
     g: MutableGraph,
     iter_max: int = 100,
@@ -107,16 +146,18 @@ def path_sgd_order(
     min_term_updates_factor: float = 1.0,
     seed: int = 9399527, # fnv-ish hash of "pangenomic!"
     device: str = "auto",
+    threads: int = 1,
 ) -> list[int]:
     """Returns node ids ordered by their optimized 1D position.
 
     device: "auto" routes small graphs (< ~5M terms per iteration) to the
-    local CPU backend — a remote-TPU compile costs minutes per process and
-    only pays off at pod scale — and large graphs to the default backend;
-    "cpu"/"default" force a choice."""
-    import jax
-    import jax.numpy as jnp
-
+    native C++ host backend (sequential updates — the exact semantics the
+    reference's Hogwild threads approximate — so neither the jax import
+    nor a jit compile lands on the host pipeline's critical path) and
+    large graphs to the default JAX backend (TPU at pod scale);
+    "native"/"cpu" (JAX on local CPU)/"default" force a choice.
+    threads: Hogwild worker count for the native backend (>1 is racy and
+    non-deterministic, like the reference; the pipeline keeps 1)."""
     node_ids = list(g.node_ids())
     n = len(node_ids)
     if n <= 1:
@@ -169,6 +210,28 @@ def path_sgd_order(
         out = np.full(size, fill, dtype=a.dtype)
         out[:len(a)] = a
         return out
+
+    # native host backend: no jax import, no jit compile — sequential
+    # updates are the exact semantics the reference's Hogwild approximates
+    if device == "native" or (device == "auto" and B < 5_000_000):
+        lib = _native_lib()
+        if lib is not None:
+            x = x0.copy()
+            lib.sgd_solve(T, np.ascontiguousarray(st_node),
+                          np.ascontiguousarray(st_pos),
+                          np.ascontiguousarray(step_path_start),
+                          np.ascontiguousarray(step_path_count),
+                          zipf_space, np.ascontiguousarray(cdf),
+                          iter_max, eta_max, float(lam),
+                          cooling_start, B, seed, max(int(threads), 1), x)
+            order = np.argsort(x, kind="stable")
+            return [node_ids[i] for i in order]
+        if device == "native":
+            raise RuntimeError("native SGD backend unavailable "
+                               "(native/libsgd.so failed to build)")
+
+    import jax
+    import jax.numpy as jnp
 
     def _solve():
         run = _compiled_run(B_pad, iter_max)

@@ -30,6 +30,35 @@ def test_sgd_recovers_linear_order():
     assert after < before / 4     # strong relative improvement
     assert g2.path_seq(0) == "ACGT" * n
 
+    # every backend recovers the chain; native is deterministic and the
+    # pipeline default for host-scale graphs
+    for dev in ("native", "cpu"):
+        o = path_sgd_order(g, iter_max=100, device=dev)
+        assert linearity(g.compact(o)) < before / 4, dev
+    assert (path_sgd_order(g, device="native")
+            == path_sgd_order(g, device="native"))
+
+
+def test_sgd_native_hogwild_threads():
+    """threads>1 runs the racy Hogwild path (reference parity) and still
+    converges — same acceptance bound as the sequential backend."""
+    rng = np.random.default_rng(1)
+    n = 120
+    perm = list(rng.permutation(n))
+    g = MutableGraph()
+    handles = {ix: g.create_handle("ACGT") for ix in perm}
+    pid = g.create_path("p")
+    for ix in range(n):
+        g.append_step(pid, handles[ix])
+
+    def linearity(gr):
+        steps = gr.path_steps[0]
+        return sum(abs((b >> 1) - (a >> 1)) for a, b in zip(steps, steps[1:]))
+
+    before = linearity(g.compact())
+    order = path_sgd_order(g, device="native", threads=4)
+    assert linearity(g.compact(order)) < before / 4
+
 
 def test_sharded_poa_round_runs_on_mesh():
     import jax
