@@ -138,6 +138,11 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
     path_input = cfg.gfa_in
     consensus_path_names: list[str] = []
     engine = _make_engine(cfg)
+    if (cfg.threads or 0) > 1 or (cfg.poa_threads or 0) > 1:
+        # boot the -t worker pool now so spawn+import overlaps graph
+        # load/prep instead of the first parallel stage
+        from ..utils.procpool import warm
+        warm(max(cfg.threads or 0, cfg.poa_threads or 0))
     tmpdir = cfg.tmp_base or os.path.dirname(os.path.abspath(cfg.smoothed_out))
     # exit-time wipe of intermediates (reference: src/tempfile.cpp static
     # destructor) — crashes and early exits never leak temps; -K keeps them

@@ -39,6 +39,22 @@ def get_pool(n_workers: int) -> ProcessPoolExecutor:
     return _POOL
 
 
+def _warm_task() -> None:
+    # front-load the imports a real task would pay at unpickle time
+    from ..pipeline import breaks, smooth  # noqa: F401
+
+
+def warm(n_workers: int) -> None:
+    """Fire-and-forget worker boot.  Spawned workers cost ~0.5 s of
+    interpreter + import startup; kicking them off at pipeline start
+    overlaps that with graph load/prep instead of landing it on the first
+    parallel stage's critical path."""
+    if n_workers and n_workers > 1:
+        pool = get_pool(n_workers)
+        for _ in range(n_workers):
+            pool.submit(_warm_task)
+
+
 def chunked(items: list, n_chunks: int) -> list[list]:
     """Split into at most n_chunks contiguous, near-equal chunks."""
     n_chunks = max(1, min(n_chunks, len(items)))
