@@ -32,7 +32,7 @@ REF_GFA = ("/root/reference/test/data/DRB1-3123.fa.gz.pggb-s3000-p70-n10-"
            "a70-K16-k8-w10000-j5000-e5000.seqwish.gfa")
 
 
-def probe_device(timeout_s: float = 240.0, tries: int = 3) -> bool:
+def probe_device(timeout_s: float = 240.0, tries: int = 2) -> bool:
     """Check the TPU backend is reachable without risking a hang.
 
     A dead axon tunnel makes jax.devices() block forever inside PJRT init
@@ -50,7 +50,10 @@ def probe_device(timeout_s: float = 240.0, tries: int = 3) -> bool:
                 time.sleep(15)   # single-client tunnel cooldown
                 return True
         except subprocess.TimeoutExpired:
-            pass
+            # a full-length timeout means PJRT init is hanging on a dead
+            # tunnel, not transient contention — retrying at full length
+            # just burns the driver's budget; one short confirmation try
+            timeout_s = 60.0
         if i + 1 < tries:
             time.sleep(30)
     return False
