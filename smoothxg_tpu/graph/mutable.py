@@ -632,10 +632,14 @@ class MutableGraph:
         order: list[int] = []
         emitted: set[int] = set()
         remaining = set(alive)
+        cursor = 0   # lowest-rank candidate: emitted only grows, so a
+        # monotone scan over `alive` (already rank-ordered) replaces an
+        # O(V) min() per cycle break — amortized O(V) over the whole sort
         while remaining:
             if not ready:
-                # cycle: seed with lowest-rank remaining
-                n = min(remaining, key=lambda x: rank[x])
+                while alive[cursor] in emitted:
+                    cursor += 1
+                n = alive[cursor]
                 heappush(ready, rank[n])
                 indeg[n] = 0
             r = heappop(ready)

@@ -17,10 +17,14 @@ from ..utils.progress import Log
 
 
 def prep(g: MutableGraph, node_chop: int = 100, use_sgd: bool = True,
-         sgd_term_updates: float = 1.0) -> MutableGraph:
+         sgd_term_updates: float = 1.0, threads: int = 1) -> MutableGraph:
+    """threads>1 runs the SGD layout Hogwild over racy worker threads —
+    the reference's semantics (odgi path_linear_sgd) and its
+    non-determinism; threads=1 (default) is sequential and deterministic."""
     if use_sgd:
         from ..ops.sgd import path_sgd_order
-        order = path_sgd_order(g, min_term_updates_factor=sgd_term_updates)
+        order = path_sgd_order(g, min_term_updates_factor=sgd_term_updates,
+                               threads=threads)
         g = g.compact(order)
     order, flips = g.groom()
     g = g.compact(order, flips)

@@ -174,7 +174,8 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
             if not cfg.no_prep:
                 with phase(tag, "prepping graph"):
                     g = prep(g, cfg.node_chop, use_sgd=cfg.use_sgd,
-                             sgd_term_updates=cfg.sgd_term_updates)
+                             sgd_term_updates=cfg.sgd_term_updates,
+                             threads=cfg.threads or 1)
             else:
                 g = g.compact()
             with phase(tag, "building flat index"):
