@@ -104,12 +104,20 @@ def smoothable_blocks(
 ) -> Blockset:
     blockset = Blockset()
     n_paths = idx.path_count()
-    seen = [np.zeros(idx.step_count(p), dtype=bool) for p in range(n_paths)]
+    # bytearrays: C-speed scalar reads in the sweep loop and C-speed
+    # run extraction via .find() in finalize pass 2
+    seen = [bytearray(idx.step_count(p)) for p in range(n_paths)]
     node_len = idx.node_len
     node_off = idx.node_off
     step_path = idx.step_path
     step_rank = idx.step_rank
     node_steps_start = idx.node_steps_start
+    # plain-list views of the per-step CSR: the sweep touches every step
+    # a few times and numpy scalar boxing dominates otherwise
+    step_path_l = step_path.tolist()
+    step_rank_l = step_rank.tolist()
+    node_steps_start_l = node_steps_start.tolist()
+    node_len_l = node_len.tolist()
 
     # longest edge jump in vector coordinates, precomputed for every node
     # in one vectorized pass (static per graph; reference walks the node's
@@ -143,17 +151,15 @@ def smoothable_blocks(
     total_path_length = 0
     path_coverage: dict[int, list[int]] = {}   # pid -> [bp, n_steps]
 
-    def node_steps(node_id: int):
-        a, b = node_steps_start[node_id - 1], node_steps_start[node_id]
-        for i in range(a, b):
-            yield int(step_path[i]), int(step_rank[i])
-
     def finalize_block() -> None:
         nonlocal block_handles
         # collect unseen traversals on block handles
         traversals: list[tuple[int, int]] = []
         for nid in block_handles:
-            for pid, rank in node_steps(nid):
+            for i in range(node_steps_start_l[nid - 1],
+                           node_steps_start_l[nid]):
+                pid = step_path_l[i]
+                rank = step_rank_l[i]
                 if not seen[pid][rank]:
                     traversals.append((pid, rank))
         block_handles = []
@@ -173,25 +179,27 @@ def smoothable_blocks(
                         continue
             ranges.append([pid, rank, rank])
 
-        # pass 2: split each range on already-seen steps
+        # pass 2: split each range on already-seen steps (C-speed run
+        # extraction over the seen bytearray)
         block = Block()
         for pid, begin, last in ranges:
             end_excl = last + 1
-            cur_begin = None
-            for r in range(begin, end_excl):
-                if cur_begin is None:
-                    cur_begin = r
-                if seen[pid][r]:
-                    if r > cur_begin:
-                        block.path_ranges.append(PathRange(pid, cur_begin, r))
-                    cur_begin = None
-            if cur_begin is not None:
-                block.path_ranges.append(PathRange(pid, cur_begin, end_excl))
+            s = seen[pid]
+            r = begin
+            while True:
+                cb = s.find(0, r, end_excl)        # next unseen step
+                if cb < 0:
+                    break
+                ce = s.find(1, cb + 1, end_excl)   # run ends at next seen
+                if ce < 0:
+                    ce = end_excl
+                block.path_ranges.append(PathRange(pid, cb, ce))
+                r = ce + 1
 
         # mark kept steps, compute lengths
         total = 0
         for pr in block.path_ranges:
-            seen[pr.pid][pr.begin:pr.end] = True
+            seen[pr.pid][pr.begin:pr.end] = b"\x01" * (pr.end - pr.begin)
             pr.length = int(idx.path_pos[pr.pid][pr.end] - idx.path_pos[pr.pid][pr.begin])
             total += pr.length
 
@@ -202,13 +210,14 @@ def smoothable_blocks(
                 blockset.add_block(split)
 
     for node_id in range(1, idx.n_nodes + 1):
-        handle_length = int(node_len[node_id - 1])
+        handle_length = node_len_l[node_id - 1]
         sequence_to_add = 0
-        unseen_here: list[tuple[int, int]] = []
-        for pid, rank in node_steps(node_id):
-            if not seen[pid][rank]:
+        unseen_here: list[int] = []     # pids only (rank unused below)
+        for i in range(node_steps_start_l[node_id - 1],
+                       node_steps_start_l[node_id]):
+            if not seen[step_path_l[i]][step_rank_l[i]]:
                 sequence_to_add += handle_length
-                unseen_here.append((pid, rank))
+                unseen_here.append(step_path_l[i])
 
         # estimated max per-path length (reference: src/blocks.cpp:255-262)
         max_path_length = 0
@@ -229,7 +238,7 @@ def smoothable_blocks(
             path_coverage = {}
 
         total_path_length += sequence_to_add
-        for pid, rank in unseen_here:
+        for pid in unseen_here:
             cov = path_coverage.setdefault(pid, [0, 0])
             cov[0] += handle_length
             cov[1] += 1
@@ -244,7 +253,17 @@ def smoothable_blocks(
 
 def _toposplit(idx: FlatIndex, block: Block) -> list[Block]:
     """Split a block into weakly-connected components over the nodes its
-    ranges traverse (reference: toposplit_block, src/blocks.cpp:43-105)."""
+    ranges traverse (reference: toposplit_block, src/blocks.cpp:43-105).
+
+    Each range is a chain, so only the numpy-deduped set of consecutive
+    node pairs feeds the union-find — not one unite per step."""
+    pair_chunks: list[np.ndarray] = []
+    for pr in block.path_ranges:
+        nids = idx.path_steps[pr.pid][pr.begin:pr.end] >> 1
+        if len(nids) > 1:
+            pair_chunks.append((nids[:-1].astype(np.int64) << 32)
+                               | nids[1:].astype(np.int64))
+
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -253,26 +272,24 @@ def _toposplit(idx: FlatIndex, block: Block) -> list[Block]:
             x = parent[x]
         return x
 
-    def unite(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-
-    for pr in block.path_ranges:
-        steps = idx.path_steps[pr.pid]
-        prev = None
-        for r in range(pr.begin, pr.end):
-            nid = int(steps[r]) >> 1
-            if nid not in parent:
-                parent[nid] = nid
-            if prev is not None:
-                unite(prev, nid)
-            prev = nid
+    if pair_chunks:
+        pairs = np.unique(np.concatenate(pair_chunks))
+        for p in pairs.tolist():
+            a, b = p >> 32, p & 0xFFFFFFFF
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
 
     comp_index: dict[int, int] = {}
     out: list[Block] = []
     for pr in block.path_ranges:
         nid = int(idx.path_steps[pr.pid][pr.begin]) >> 1
+        if nid not in parent:
+            parent[nid] = nid     # single-step range never entered pairs
         root = find(nid)
         ci = comp_index.get(root)
         if ci is None:
