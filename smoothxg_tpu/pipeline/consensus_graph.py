@@ -150,19 +150,47 @@ def create_consensus_graph(
     # overwrite earlier ones (last-wins, same as the dict fill).
     cidx = {pid: i for i, pid in enumerate(cons_pids)}
     cidx_arr = np.full(max(cons_pids) + 1, -1, dtype=np.int64)
-    last_pos = np.full((len(cons_pids), n_nodes + 1), -1, dtype=np.int64)
-    last_h = np.full((len(cons_pids), n_nodes + 1), -1, dtype=np.int64)
+    # compact last-step map instead of dense (C, n_nodes) matrices —
+    # O(consensus steps) memory, not O(C x V) (the dense form costs
+    # hundreds of MB of first-touch at 169 paths x 39k nodes): sorted
+    # (cidx<<32 | node) keys with the LAST step of each path on each
+    # node winning, exactly the dense fill's overwrite semantics
+    key_chunks, pos_chunks, h_chunks = [], [], []
     for pid in cons_pids:
         cidx_arr[pid] = cidx[pid]
         st = np.asarray(smoothed.path_steps[pid], dtype=np.int64)
         ps = np.asarray(smoothed.path_pos[pid][:len(st)], dtype=np.int64)
-        last_pos[cidx[pid], st >> 1] = ps
-        last_h[cidx[pid], st >> 1] = st
+        key_chunks.append((np.int64(cidx[pid]) << 32) | (st >> 1))
+        pos_chunks.append(ps)
+        h_chunks.append(st)
+    _keys = np.concatenate(key_chunks) if key_chunks else np.zeros(0, np.int64)
+    _poss = np.concatenate(pos_chunks) if pos_chunks else np.zeros(0, np.int64)
+    _hs = np.concatenate(h_chunks) if h_chunks else np.zeros(0, np.int64)
+    _ord = np.argsort(_keys, kind="stable")
+    _keys, _poss, _hs = _keys[_ord], _poss[_ord], _hs[_ord]
+    if len(_keys):
+        _last = np.empty(len(_keys), dtype=bool)
+        _last[:-1] = _keys[1:] != _keys[:-1]
+        _last[-1] = True
+        _keys, _poss, _hs = _keys[_last], _poss[_last], _hs[_last]
+
+    def last_step_of(c_arr, node_arr):
+        """Vectorized (pos, handle) of consensus path row c's last step on
+        node; (-1, -1) where the path never touches the node."""
+        if not len(_keys):
+            mone = np.full(len(np.atleast_1d(c_arr)), -1, dtype=np.int64)
+            return mone, mone.copy()
+        q = (np.asarray(c_arr, dtype=np.int64) << 32) | node_arr
+        i = np.minimum(np.searchsorted(_keys, q), len(_keys) - 1)
+        hit = _keys[i] == q
+        return (np.where(hit, _poss[i], -1), np.where(hit, _hs[i], -1))
 
     def consensus_part(cons_pid: int, node_id: int) -> int:
         """position of the consensus step on this node -> begin/middle/end
         eighths (reference: :247-273)."""
-        pos = int(last_pos[cidx[cons_pid], node_id])
+        p_, _ = last_step_of(np.array([cidx[cons_pid]]),
+                             np.array([node_id], dtype=np.int64))
+        pos = int(p_[0])
         if pos < 0:
             return MIDDLE
         clen = smoothed.get_path_length(cons_pid)
@@ -206,12 +234,10 @@ def create_consensus_graph(
             siv = voff[ncd] + (hc & 1) * vlen[ncd]
             eiv = voff[npd] + (1 - (hp & 1)) * lp
             c = cidx_arr[acur[1:]]
-            sp = last_pos[c, npd + 1]
-            start = np.where(sp >= 0,
-                             sp + (last_h[c, npd + 1] == hp) * lp, -1)
-            ep = last_pos[c, ncd + 1]
-            end = np.where(ep >= 0,
-                           ep + (last_h[c, ncd + 1] == (hc ^ 1)) * lp, -1)
+            sp, sh = last_step_of(c, npd + 1)
+            start = np.where(sp >= 0, sp + (sh == hp) * lp, -1)
+            ep, eh = last_step_of(c, ncd + 1)
+            end = np.where(ep >= 0, ep + (eh == (hc ^ 1)) * lp, -1)
             cd = np.where((start >= 0) & (end >= 0),
                           np.abs(end - start), -1)
             jump_arr = np.minimum(np.abs(siv - eiv), cd)
