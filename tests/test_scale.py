@@ -1,0 +1,76 @@
+"""Scale smoke: a tiled multi-copy graph (disjoint components).
+
+Tiling DRB1 k times yields a graph whose sort order interleaves
+disconnected copies, so the block-finding sweep produces genuinely
+multi-component blocks — the real-world trigger for toposplit
+(reference: toposplit_block, src/blocks.cpp:43-105) — and every
+downstream stage (POA, lace, validation) runs at multi-MB scale.
+
+Hard invariants only (this is a smoke, not a golden): byte-identical
+path reconstruction for every input path, and each copy's paths must
+land in blocks with no cross-copy mixing (the copies share no nodes).
+"""
+import pytest
+
+from smoothxg_tpu.graph.index import FlatIndex
+from smoothxg_tpu.io.gfa import read_gfa
+from smoothxg_tpu.pipeline.blocks import smoothable_blocks
+from smoothxg_tpu.pipeline.prep import prep
+from smoothxg_tpu.pipeline.run import Config, run_smoothing
+
+
+def _tile_gfa(src: str, dst: str, k: int) -> None:
+    lines = open(src).read().splitlines()
+    maxid = max(int(l.split("\t")[1]) for l in lines if l.startswith("S\t"))
+    with open(dst, "w") as out:
+        out.write("H\tVN:Z:1.0\n")
+        for c in range(k):
+            off = c * maxid
+            for l in lines:
+                f = l.split("\t")
+                if f[0] == "S":
+                    out.write(f"S\t{int(f[1]) + off}\t{f[2]}\n")
+                elif f[0] == "L":
+                    out.write(f"L\t{int(f[1]) + off}\t{f[2]}\t"
+                              f"{int(f[3]) + off}\t{f[4]}\t{f[5]}\n")
+                elif f[0] == "P":
+                    steps = ",".join(f"{int(s[:-1]) + off}{s[-1]}"
+                                     for s in f[2].split(","))
+                    out.write(f"P\t{f[1]}_copy{c}\t{steps}\t*\n")
+
+
+@pytest.mark.slow
+def test_toposplit_separates_tiled_copies(drb1_path, tmp_path):
+    tiled = str(tmp_path / "x3.gfa")
+    _tile_gfa(drb1_path, tiled, 3)
+    g = prep(read_gfa(tiled), 100)
+    idx = FlatIndex(g)
+    name_copy = {p: int(idx.get_path_name(p).rsplit("_copy", 1)[1])
+                 for p in range(idx.path_count())}
+    bs = smoothable_blocks(idx, 700 * 36, 700, 5000, 5000)
+    assert len(bs) > 0
+    for b in bs:
+        copies = {name_copy[pr.pid] for pr in b.path_ranges}
+        assert len(copies) == 1, "block mixes disconnected copies"
+
+
+@pytest.mark.slow
+def test_tiled_pipeline_end_to_end(drb1_path, tmp_path):
+    from smoothxg_tpu.ops import poa_native
+    if not poa_native.available():      # pragma: no cover
+        pytest.skip("native engine unavailable")
+    tiled = str(tmp_path / "x3.gfa")
+    _tile_gfa(drb1_path, tiled, 3)
+    out = str(tmp_path / "out.gfa")
+    cfg = Config(
+        gfa_in=tiled, smoothed_out=out, n_haps=36,
+        max_path_jump=5000, max_edge_jump=5000,
+        poa_length_targets=[700], use_sgd=True,
+        engine="native", threads=2, tmp_base=str(tmp_path),
+    )
+    outp, _ = run_smoothing(cfg)
+    got = read_gfa(outp)
+    orig = read_gfa(tiled)
+    for i in range(orig.path_count()):
+        nm = orig.path_names[i]
+        assert got.path_seq(got.get_path(nm)) == orig.path_seq(i)
