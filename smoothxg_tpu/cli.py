@@ -216,22 +216,9 @@ def main(argv=None) -> int:
             consensus_path_names = [ln.strip() for ln in f if ln.strip()]
 
     if specs:
-        from .graph.index import FlatIndex
-        from .io.gfa import read_gfa, write_gfa
-        from .pipeline.consensus_graph import create_consensus_graph, displayname
-        smoothed_idx = FlatIndex(read_gfa(smoothed_gfa))
-        for spec in specs:
-            names = []
-            if spec.ref_file:
-                with open(spec.ref_file) as f:
-                    names = [ln.strip() for ln in f if ln.strip()]
-            if spec.keep_consensus_paths:
-                names = consensus_path_names + names
-            outname = displayname(spec) + ".gfa"
-            cg = create_consensus_graph(
-                smoothed_idx, names, spec.min_allele_len, spec.max_allele_len,
-                spec.min_consensus_path_cov)
-            write_gfa(cg, outname)
+        from .pipeline.consensus_graph import build_consensus_specs
+        build_consensus_specs(smoothed_gfa, specs, consensus_path_names,
+                              threads=max(1, args.threads))
     return 0
 
 

@@ -509,3 +509,62 @@ def _compute_link_paths(smoothed, links, min_allele_length, max_allele_length,
                 link_rank += 1
                 consensus_links.append(lk)
                 mark(lk)
+
+
+def _spec_names(spec: ConsensusSpec,
+                consensus_path_names: list[str]) -> list[str]:
+    names: list[str] = []
+    if spec.ref_file:
+        with open(spec.ref_file) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+    if spec.keep_consensus_paths:
+        names = list(consensus_path_names) + names
+    return names
+
+
+def _build_one_spec(smoothed_gfa: str, spec: ConsensusSpec,
+                    consensus_path_names: list[str], outdir: str) -> str:
+    """Worker entry: read the smoothed GFA, build one spec's consensus
+    graph, write `<displayname>.gfa` under outdir (passed explicitly —
+    pool workers keep the cwd they were spawned with, not the caller's)."""
+    import os
+    from ..graph.index import FlatIndex
+    from ..io.gfa import read_gfa, write_gfa
+    idx = FlatIndex(read_gfa(smoothed_gfa))
+    cg = create_consensus_graph(
+        idx, _spec_names(spec, consensus_path_names),
+        spec.min_allele_len, spec.max_allele_len,
+        spec.min_consensus_path_cov)
+    outname = displayname(spec) + ".gfa"
+    write_gfa(cg, os.path.join(outdir, outname))
+    return outname
+
+
+def build_consensus_specs(smoothed_gfa: str, specs: list[ConsensusSpec],
+                          consensus_path_names: list[str],
+                          threads: int = 1) -> list[str]:
+    """Build every spec's consensus graph (reference: the -C loop,
+    src/main.cpp:986-1034).  Specs are independent, so -t fans them over
+    the worker pool (each worker re-reads the smoothed GFA — cheaper than
+    pickling a FlatIndex); serial path shares one index."""
+    if threads > 1 and len(specs) > 1:
+        import os
+        from ..utils.procpool import get_pool
+        pool = get_pool(min(threads, len(specs)))
+        outdir = os.getcwd()
+        futs = [pool.submit(_build_one_spec, smoothed_gfa, sp,
+                            consensus_path_names, outdir) for sp in specs]
+        return [f.result() for f in futs]
+    from ..graph.index import FlatIndex
+    from ..io.gfa import read_gfa, write_gfa
+    idx = FlatIndex(read_gfa(smoothed_gfa))
+    out = []
+    for spec in specs:
+        cg = create_consensus_graph(
+            idx, _spec_names(spec, consensus_path_names),
+            spec.min_allele_len, spec.max_allele_len,
+            spec.min_consensus_path_cov)
+        outname = displayname(spec) + ".gfa"
+        write_gfa(cg, outname)
+        out.append(outname)
+    return out

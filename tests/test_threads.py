@@ -86,3 +86,37 @@ def test_pipelined_fused_matches_serial(drb1_idx):
         engine=FusedPallasEngine(interpret=True, max_batch=4, threads=2),
         **kw)
     assert _sig(serial) == _sig(par)
+
+
+@pytest.mark.slow
+def test_parallel_consensus_specs_match_serial(drb1_path, tmp_path):
+    """-C spec builds fan over the pool; outputs must be byte-identical
+    to the serial shared-index path."""
+    import os
+    from smoothxg_tpu.ops import poa_native
+    if not poa_native.available():      # pragma: no cover
+        pytest.skip("native engine unavailable")
+    from smoothxg_tpu.pipeline.consensus_graph import (
+        build_consensus_specs, parse_consensus_spec)
+    from smoothxg_tpu.pipeline.run import Config, run_smoothing
+    out = str(tmp_path / "o.gfa")
+    cfg = Config(gfa_in=drb1_path, smoothed_out=out, n_haps=12,
+                 max_path_jump=5000, max_edge_jump=5000,
+                 poa_length_targets=[700], use_sgd=False,
+                 add_consensus=True, engine="native",
+                 tmp_base=str(tmp_path))
+    _, cons_names = run_smoothing(cfg)
+    specs, _ = parse_consensus_spec("cns,10,100", True)
+    d1, d4 = tmp_path / "s1", tmp_path / "s4"
+    d1.mkdir(), d4.mkdir()
+    cwd = os.getcwd()
+    try:
+        os.chdir(d1)
+        f1 = build_consensus_specs(out, specs, cons_names, threads=1)
+        os.chdir(d4)
+        f4 = build_consensus_specs(out, specs, cons_names, threads=4)
+    finally:
+        os.chdir(cwd)
+    assert f1 == f4 and len(f1) == 2
+    for nm in f1:
+        assert (d1 / nm).read_bytes() == (d4 / nm).read_bytes()
