@@ -152,6 +152,16 @@ class MutableGraph:
             self._next_id = node_id + 1
         return handle_fwd(node_id)
 
+    def bulk_create_handles(self, seq_list) -> int:
+        """Append len(seq_list) fresh nodes with consecutive ids; returns
+        the first id (same ids create_handle would have assigned)."""
+        first = self._next_id
+        ids = range(first, first + len(seq_list))
+        self.seqs.update(zip(ids, seq_list))
+        self._order.extend(ids)
+        self._next_id = first + len(seq_list)
+        return first
+
     def has_node(self, node_id: int) -> bool:
         return node_id in self.seqs
 
@@ -284,10 +294,15 @@ class MutableGraph:
         return len(self.path_names)
 
     def path_seq(self, pid: int) -> str:
-        return "".join(self.get_sequence(h) for h in self.path_steps[pid])
+        # inlined get_sequence: one dict hit per step, no call overhead
+        # (path validation joins millions of steps at scale)
+        seqs = self.seqs
+        return "".join([revcomp(seqs[h >> 1]) if h & 1 else seqs[h >> 1]
+                        for h in self.path_steps[pid]])
 
     def path_len(self, pid: int) -> int:
-        return sum(self.get_length(h) for h in self.path_steps[pid])
+        seqs = self.seqs
+        return sum(len(seqs[h >> 1]) for h in self.path_steps[pid])
 
     # ---- derived ----
     def total_seq_len(self) -> int:

@@ -33,19 +33,28 @@ def lace(idx: FlatIndex, results: list[BlockResult],
     """Returns (smoothed graph, consensus path names)."""
     smoothed = MutableGraph()
 
-    # 1) nodes + edges from every block, with id translation
+    # 1) nodes + edges from every block, with id translation — bulk
+    # appends (per-node create_handle / per-edge create_edge dominated
+    # lace at scale); block graphs have dense 1..n ids in storage order,
+    # the same assumption the per-node loop made
+    from ..graph.mutable import _bulk_add_side_edges
     id_trans: list[int] = []
+    edge_chunks: list[np.ndarray] = []
     for res in results:
         id_trans.append(smoothed.node_count())
         bg = res.get_graph()
         if bg is None or bg.node_count() == 0:
             continue
-        for n in bg.node_ids():
-            smoothed.create_handle(bg.seqs[n])
-        off = id_trans[-1]
-        for a, b in bg.edges():
-            smoothed.create_edge(((a >> 1) + off) << 1 | (a & 1),
-                                 ((b >> 1) + off) << 1 | (b & 1))
+        smoothed.bulk_create_handles([bg.seqs[n] for n in bg.node_ids()])
+        ea = bg.edges_array()
+        if len(ea):
+            edge_chunks.append((((ea >> 1) + id_trans[-1]) << 1) | (ea & 1))
+    if edge_chunks:
+        eh = np.concatenate(edge_chunks)
+        a, b = eh[:, 0], eh[:, 1]
+        _bulk_add_side_edges(smoothed.adj,
+                             (a & ~np.int64(1)) | (1 - (a & 1)),   # out_side
+                             (b & ~np.int64(1)) | (b & 1))         # in_side
 
     # 2) sorted path fragments (reference: path_mapping mmmulti::set ordering)
     entries: list[tuple[int, int, int, int, int]] = []
