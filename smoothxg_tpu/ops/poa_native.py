@@ -102,10 +102,27 @@ def poa_block(seqs: list[np.ndarray], p: POAParams,
     return base[:V], ring[:V], order[:V], paths[:int(seq_off[-1])], seq_off
 
 
+_TPOOL = None
+_TPOOL_SIZE = 0
+
+
+def _thread_pool(n: int):
+    """Process-wide thread pool for native POA calls (GIL-released)."""
+    global _TPOOL, _TPOOL_SIZE
+    if _TPOOL is not None and _TPOOL_SIZE != n:
+        _TPOOL.shutdown(wait=True)
+        _TPOOL = None
+    if _TPOOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _TPOOL = ThreadPoolExecutor(max_workers=n,
+                                    thread_name_prefix="cpoa")
+        _TPOOL_SIZE = n
+    return _TPOOL
+
+
 def _pool_block(args):
-    """Process-pool worker: native POA + rehydrate for one block.  Runs in
-    a spawn worker (JAX pinned to cpu by utils.procpool), so it can never
-    touch the single-client TPU tunnel."""
+    """Worker: native POA + rehydrate for one block (thread worker: the
+    ctypes DP call drops the GIL; rehydrate is the small GIL-bound tail)."""
     seqs, weights, params, ring_cap = args
     base, ring, order, flat, off = poa_block(list(seqs), params, ring_cap)
     paths = [flat[off[i]:off[i + 1]].tolist() for i in range(len(seqs))]
@@ -121,6 +138,11 @@ class NativePOAEngine:
     its fallback/redo path, mirroring the reference's OMP-over-blocks
     loop, src/smooth.cpp:1904)."""
 
+    # smooth_blocks runs the whole per-block body (extract -> POA ->
+    # finalize) inside one pool task for this engine (the reference's
+    # OMP task shape, src/smooth.cpp:1904)
+    supports_full_block_pool = True
+
     def __init__(self, ring_cap: int = RING_CAP, threads: int = 1):
         if not available():
             raise RuntimeError("libcpoa.so unavailable (native build failed)")
@@ -133,11 +155,14 @@ class NativePOAEngine:
 
     def poa_block_batch_async(self, blocks):
         """Returns a list of zero-arg callables resolving to POAGraphs.
-        With threads>1 the work is already in flight on the pool when this
-        returns, so the caller can overlap it with device decode."""
+        With threads>1 the work is already in flight when this returns, so
+        the caller can overlap it with device decode.  Workers are THREADS,
+        not processes: ctypes releases the GIL for the whole native DP
+        (the dominant cost), so blocks parallelize with zero pickling of
+        sequences in or graphs out — the process-pool version spent more
+        main-process time on IPC serialization than the DP itself."""
         if self.threads > 1 and len(blocks) >= 2:
-            from ..utils.procpool import get_pool
-            pool = get_pool(self.threads)
+            pool = _thread_pool(self.threads)
             futs = [pool.submit(_pool_block,
                                 (list(seqs), list(weights), params,
                                  self.ring_cap))

@@ -229,6 +229,34 @@ def smooth_blocks(
             p = _adaptive_params(idx, block.path_ranges, params, kmer_size,
                                  max_block_depth_for_padding_more)
         prepped.append((bid, block, pad, p))
+
+    if (threads > 1 and len(prepped) >= 2 * threads
+            and getattr(engine, "supports_full_block_pool", False)):
+        # native engine: the whole per-block body (extract -> POA ->
+        # finalize) runs in the worker, one IPC round trip per chunk
+        from ..utils.procpool import chunked, get_pool
+        ver, idx_bytes = _idx_payload(idx)
+        pseqs_arg = seqindex if seqindex is not None else path_seqs
+        pool = get_pool(threads)
+        futs = [pool.submit(_native_full_chunk, ver, idx_bytes, pseqs_arg,
+                            ch, add_consensus, consensus_base_name,
+                            produce_maf, engine.ring_cap, abpoa_mode,
+                            collect_stats, write_poa_blocks_ms, fasta_dir)
+                for ch in chunked(prepped, 4 * threads)]
+        results, max_rounds = [], 0
+        for f in futs:
+            chunk_res, max_u = f.result()
+            results.extend(chunk_res)
+            max_rounds = max(max_rounds, max_u)
+        if graph_cache is not None:
+            for res in results:
+                graph_cache.put(res.block_id, res.graph)
+                res.graph = None
+                res.cache = graph_cache
+        Log.info("smooth", f"smoothed {len(results)} blocks "
+                           f"(max rounds {max_rounds})")
+        return results
+
     if threads > 1 and len(prepped) >= 2 * threads:
         # pooled extraction (reference: the block loop body up to seq
         # collection runs inside the OMP task, src/smooth.cpp:1904)
@@ -374,6 +402,64 @@ def _extract_chunk(idx_ver: int, idx_bytes: bytes, pseqs, items: list):
             for bid, block, pad, p in items]
 
 
+def _maybe_dump_block_fasta(st, write_poa_blocks_ms, fasta_dir) -> None:
+    """Dump a block FASTA when its POA took >= threshold ms
+    (reference: POA_DEBUG write_block_fastas, src/smooth.cpp:2095-2110)."""
+    if write_poa_blocks_ms is None or not st.useqs \
+            or st.poa_ms < write_poa_blocks_ms:
+        return
+    import os
+    os.makedirs(fasta_dir, exist_ok=True)
+    p = os.path.join(fasta_dir, f"poa_block_{st.block_id}_"
+                                f"{int(st.poa_ms)}ms.fa")
+    with open(p, "w") as f:
+        for urank, seq in enumerate(st.useqs):
+            f.write(f">{st.dup_names[urank][0]}"
+                    f" weight={st.weights[urank]}\n{seq}\n")
+
+
+def _native_full_chunk(idx_ver: int, idx_bytes: bytes, pseqs, items: list,
+                       add_consensus: bool, consensus_base_name: str,
+                       produce_maf: bool, ring_cap: int, abpoa_mode: bool,
+                       collect_stats: bool, write_poa_blocks_ms,
+                       fasta_dir: str):
+    """Pool worker running the reference's whole OMP task body
+    (src/smooth.cpp:1904) for a chunk of blocks: extract -> native POA ->
+    finalize, entirely in the worker — each block crosses the process
+    boundary once per direction (tiny task in, BlockResult out) instead
+    of three round-trips (extract out, sequences in, finalize both ways)."""
+    global _W_IDX_VER, _W_IDX
+    if _W_IDX_VER != idx_ver:
+        import pickle
+        _W_IDX = pickle.loads(idx_bytes)
+        _W_IDX_VER = idx_ver
+    if hasattr(pseqs, "views"):
+        pseqs = pseqs.views()
+    import time as _time
+
+    from ..ops.poa_native import poa_block, rehydrate
+    out = []
+    max_u = 0
+    for bid, block, pad, p in items:
+        st = _extract_block(_W_IDX, pseqs, block, bid, pad, p)
+        st.abpoa_mode = abpoa_mode
+        max_u = max(max_u, len(st.useqs))
+        t0 = _time.perf_counter()
+        es = [encode_seq(s) for s in st.useqs]
+        base, ring, order, flat, off = poa_block(es, st.params, ring_cap)
+        paths = [flat[off[i]:off[i + 1]].tolist() for i in range(len(es))]
+        st.graph = rehydrate(base, ring, [int(v) for v in order], paths,
+                             list(st.weights))
+        st.poa_ms = (_time.perf_counter() - t0) * 1e3
+        res = _finalize_block(_W_IDX, st, add_consensus,
+                              consensus_base_name, produce_maf)
+        if collect_stats:
+            res.stats = _block_stats(st, res)
+        _maybe_dump_block_fasta(st, write_poa_blocks_ms, fasta_dir)
+        out.append(res)
+    return out, max_u
+
+
 def _finalize_chunk(idx_ver: int, idx_bytes: bytes, sts: list,
                     add_consensus: bool, consensus_base_name: str,
                     produce_maf: bool) -> list:
@@ -490,19 +576,8 @@ def _finish_tail(states, results, collect_stats, graph_cache,
             res.graph = None
             res.cache = graph_cache
     if write_poa_blocks_ms is not None:
-        # dump FASTAs of blocks whose POA took >= threshold ms
-        # (reference: POA_DEBUG write_block_fastas, src/smooth.cpp:2095-2110)
-        import os
-        os.makedirs(fasta_dir, exist_ok=True)
         for st in states:
-            if st.poa_ms >= write_poa_blocks_ms and st.useqs:
-                p = os.path.join(fasta_dir,
-                                 f"poa_block_{st.block_id}_"
-                                 f"{int(st.poa_ms)}ms.fa")
-                with open(p, "w") as f:
-                    for urank, seq in enumerate(st.useqs):
-                        f.write(f">{st.dup_names[urank][0]}"
-                                f" weight={st.weights[urank]}\n{seq}\n")
+            _maybe_dump_block_fasta(st, write_poa_blocks_ms, fasta_dir)
     Log.info("smooth", f"smoothed {len(results)} blocks "
                        f"(max rounds {max_rounds})")
     return results
