@@ -71,13 +71,11 @@ def break_blocks(
     if threads > 1 and len(blocks) >= 2 * threads:
         # reference: OMP parallel block loop + ordered writer thread
         # (src/breaks.cpp:198); chunk order preserves block order here
-        import pickle
         from ..utils.procpool import chunked, get_pool
-        global _IDX_SEQ
-        _IDX_SEQ += 1
-        idx_bytes = pickle.dumps(idx)
+        from .poolidx import payload
+        ver, idx_path = payload(idx)
         pool = get_pool(threads)
-        futs = [pool.submit(_break_chunk, _IDX_SEQ, idx_bytes, chunk, kw)
+        futs = [pool.submit(_break_chunk, ver, idx_path, chunk, kw)
                 for chunk in chunked(blocks, 4 * threads)]
         from ..utils.progress import ProgressMeter
         with ProgressMeter(len(futs), "break_blocks", "block chunks") as pm:
@@ -133,19 +131,10 @@ def _break_one(idx, block, kw) -> tuple[list[Block], int, int]:
     return splits, counters[0], counters[1]
 
 
-# worker-side index cache (same protocol as pipeline/smooth.py finalize)
-_W_IDX_VER: int | None = None
-_W_IDX = None
-_IDX_SEQ = 0
-
-
-def _break_chunk(idx_ver, idx_bytes, blocks, kw):
-    global _W_IDX_VER, _W_IDX
-    if _W_IDX_VER != idx_ver:
-        import pickle
-        _W_IDX = pickle.loads(idx_bytes)
-        _W_IDX_VER = idx_ver
-    return [_break_one(_W_IDX, b, kw) for b in blocks]
+def _break_chunk(idx_ver, idx_path, blocks, kw):
+    from .poolidx import worker_idx
+    return [_break_one(worker_idx(idx_ver, idx_path), b, kw)
+            for b in blocks]
 
 
 def _write_split_fastas(idx, outdir, in_bid, splits) -> None:

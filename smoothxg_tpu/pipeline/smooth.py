@@ -214,11 +214,12 @@ def smooth_blocks(
     add_consensus = bool(consensus_base_name)
 
     # path sequences: lazy mmap views when a SeqIndex is provided
-    # (reference: src/seqindex.cpp), else materialized once
-    if seqindex is not None:
-        path_seqs = seqindex.views()
-    else:
-        path_seqs = [idx.path_seq(pid) for pid in range(idx.path_count())]
+    # (reference: src/seqindex.cpp), else materialized once — and only on
+    # the serial path; pooled extraction derives them in-worker (poolidx)
+    def _path_seqs():
+        if seqindex is not None:
+            return seqindex.views()
+        return [idx.path_seq(pid) for pid in range(idx.path_count())]
 
     prepped = []
     for bid, block in enumerate(blockset):
@@ -235,10 +236,9 @@ def smooth_blocks(
         # native engine: the whole per-block body (extract -> POA ->
         # finalize) runs in the worker, one IPC round trip per chunk
         from ..utils.procpool import chunked, get_pool
-        ver, idx_bytes = _idx_payload(idx)
-        pseqs_arg = seqindex if seqindex is not None else path_seqs
+        ver, idx_path = _idx_payload(idx)
         pool = get_pool(threads)
-        futs = [pool.submit(_native_full_chunk, ver, idx_bytes, pseqs_arg,
+        futs = [pool.submit(_native_full_chunk, ver, idx_path, seqindex,
                             ch, add_consensus, consensus_base_name,
                             produce_maf, engine.ring_cap, abpoa_mode,
                             collect_stats, write_poa_blocks_ms, fasta_dir)
@@ -261,13 +261,13 @@ def smooth_blocks(
         # pooled extraction (reference: the block loop body up to seq
         # collection runs inside the OMP task, src/smooth.cpp:1904)
         from ..utils.procpool import chunked, get_pool
-        ver, idx_bytes = _idx_payload(idx)
-        pseqs = seqindex if seqindex is not None else path_seqs
+        ver, idx_path = _idx_payload(idx)
         pool = get_pool(threads)
-        futs = [pool.submit(_extract_chunk, ver, idx_bytes, pseqs, ch)
+        futs = [pool.submit(_extract_chunk, ver, idx_path, seqindex, ch)
                 for ch in chunked(prepped, 4 * threads)]
         states = [st for f in futs for st in f.result()]
     else:
+        path_seqs = _path_seqs()
         states = [_extract_block(idx, path_seqs, block, bid, pad, p)
                   for bid, block, pad, p in prepped]
     for st in states:
@@ -368,37 +368,18 @@ def smooth_blocks(
 # worker-side FlatIndex cache for the pool stages: the index is pickled
 # once per FlatIndex object and re-sent with every chunk (bytes re-use
 # makes that a memcpy); workers deserialize only when the version changes
-_W_IDX_VER: int | None = None
-_W_IDX = None
-_IDX_SEQ = 0
+from .poolidx import payload as _idx_payload  # noqa: E402
+from .poolidx import worker_idx as _worker_idx  # noqa: E402
+from .poolidx import worker_pseqs as _worker_pseqs  # noqa: E402
 
 
-def _idx_payload(idx) -> tuple[int, bytes]:
-    """(version, pickled bytes) cached on the index object so extraction,
-    pipelined finalize, and finish share one serialization and workers
-    deserialize once."""
-    global _IDX_SEQ
-    payload = getattr(idx, "_pool_payload", None)
-    if payload is None:
-        import pickle
-        _IDX_SEQ += 1
-        payload = (_IDX_SEQ, pickle.dumps(idx))
-        idx._pool_payload = payload
-    return payload
-
-
-def _extract_chunk(idx_ver: int, idx_bytes: bytes, pseqs, items: list):
+def _extract_chunk(idx_ver: int, idx_path: str, seqindex, items: list):
     """Pool worker: extract a chunk of blocks (sequences, strands, dedup).
-    pseqs is either a SeqIndex (re-maps its file on unpickle) or the
-    materialized path string list."""
-    global _W_IDX_VER, _W_IDX
-    if _W_IDX_VER != idx_ver:
-        import pickle
-        _W_IDX = pickle.loads(idx_bytes)
-        _W_IDX_VER = idx_ver
-    if hasattr(pseqs, "views"):
-        pseqs = pseqs.views()
-    return [_extract_block(_W_IDX, pseqs, block, bid, pad, p)
+    The index travels as a temp-file path (see poolidx); path sequences
+    come from a SeqIndex's mmap views or are derived in-worker."""
+    idx = _worker_idx(idx_ver, idx_path)
+    pseqs = _worker_pseqs(idx_ver, idx_path, seqindex)
+    return [_extract_block(idx, pseqs, block, bid, pad, p)
             for bid, block, pad, p in items]
 
 
@@ -418,7 +399,7 @@ def _maybe_dump_block_fasta(st, write_poa_blocks_ms, fasta_dir) -> None:
                     f" weight={st.weights[urank]}\n{seq}\n")
 
 
-def _native_full_chunk(idx_ver: int, idx_bytes: bytes, pseqs, items: list,
+def _native_full_chunk(idx_ver: int, idx_path: str, seqindex, items: list,
                        add_consensus: bool, consensus_base_name: str,
                        produce_maf: bool, ring_cap: int, abpoa_mode: bool,
                        collect_stats: bool, write_poa_blocks_ms,
@@ -428,13 +409,8 @@ def _native_full_chunk(idx_ver: int, idx_bytes: bytes, pseqs, items: list,
     finalize, entirely in the worker — each block crosses the process
     boundary once per direction (tiny task in, BlockResult out) instead
     of three round-trips (extract out, sequences in, finalize both ways)."""
-    global _W_IDX_VER, _W_IDX
-    if _W_IDX_VER != idx_ver:
-        import pickle
-        _W_IDX = pickle.loads(idx_bytes)
-        _W_IDX_VER = idx_ver
-    if hasattr(pseqs, "views"):
-        pseqs = pseqs.views()
+    _W_IDX = _worker_idx(idx_ver, idx_path)
+    pseqs = _worker_pseqs(idx_ver, idx_path, seqindex)
     import time as _time
 
     from ..ops.poa_native import poa_block, rehydrate
@@ -460,29 +436,21 @@ def _native_full_chunk(idx_ver: int, idx_bytes: bytes, pseqs, items: list,
     return out, max_u
 
 
-def _finalize_chunk(idx_ver: int, idx_bytes: bytes, sts: list,
+def _finalize_chunk(idx_ver: int, idx_path: str, sts: list,
                     add_consensus: bool, consensus_base_name: str,
                     produce_maf: bool) -> list:
-    global _W_IDX_VER, _W_IDX
-    if _W_IDX_VER != idx_ver:
-        import pickle
-        _W_IDX = pickle.loads(idx_bytes)
-        _W_IDX_VER = idx_ver
+    _W_IDX = _worker_idx(idx_ver, idx_path)
     return [_finalize_block(_W_IDX, st, add_consensus, consensus_base_name,
                             produce_maf) for st in sts]
 
 
-def _finalize_chunk_raw(idx_ver: int, idx_bytes: bytes, items: list,
+def _finalize_chunk_raw(idx_ver: int, idx_path: str, items: list,
                         add_consensus: bool, consensus_base_name: str,
                         produce_maf: bool) -> list:
     """Pool worker for the pipelined fused path: rehydrate the engine's
     raw device payload (or accept a finished fallback graph), then
     finalize — all off the main process."""
-    global _W_IDX_VER, _W_IDX
-    if _W_IDX_VER != idx_ver:
-        import pickle
-        _W_IDX = pickle.loads(idx_bytes)
-        _W_IDX_VER = idx_ver
+    _W_IDX = _worker_idx(idx_ver, idx_path)
     from ..ops.poa_pallas_fused import rehydrate_device_raw
     out = []
     for st, kind, payload, enc_seqs, validate in items:
@@ -503,7 +471,7 @@ def _smooth_fused_pipelined(idx, engine, states, enc, consensus_base_name,
     while earlier ones rehydrate+finalize on the pool."""
     import time as _time
     from ..utils.procpool import get_pool
-    ver, idx_bytes = _idx_payload(idx)
+    ver, idx_path = _idx_payload(idx)
     pool = get_pool(threads)
     add_consensus = bool(consensus_base_name)
     validate = getattr(engine, "validate", True)
@@ -517,7 +485,7 @@ def _smooth_fused_pipelined(idx, engine, states, enc, consensus_base_name,
         nonlocal buf, bidx
         if buf:
             futs.append((bidx, pool.submit(
-                _finalize_chunk_raw, ver, idx_bytes, buf,
+                _finalize_chunk_raw, ver, idx_path, buf,
                 add_consensus, consensus_base_name, produce_maf)))
             buf, bidx = [], []
 
@@ -547,9 +515,9 @@ def _finish_blocks(idx, states, consensus_base_name, produce_maf,
     if threads > 1 and len(states) >= 2 * threads:
         # reference: OMP dynamic loop over blocks (src/smooth.cpp:1904)
         from ..utils.procpool import chunked, get_pool
-        ver, idx_bytes = _idx_payload(idx)
+        ver, idx_path = _idx_payload(idx)
         pool = get_pool(threads)
-        futs = [pool.submit(_finalize_chunk, ver, idx_bytes, chunk,
+        futs = [pool.submit(_finalize_chunk, ver, idx_path, chunk,
                             add_consensus, consensus_base_name, produce_maf)
                 for chunk in chunked(states, 4 * threads)]
         results = [res for f in futs for res in f.result()]
