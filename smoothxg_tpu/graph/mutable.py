@@ -367,13 +367,36 @@ class MutableGraph:
             nid = h >> 1
             return (lut[nid] << 1) | ((h & 1) ^ fl[nid])
 
-        epairs = self.edges_array()
-        if len(epairs):
-            ea = remap_vec(epairs)
-            a, b = ea[:, 0], ea[:, 1]
-            _bulk_add_side_edges(g.adj,
-                                 ((a >> 1 << 1) | (1 - (a & 1))).tolist(),
-                                 ((b >> 1 << 1) | (b & 1)).tolist())
+        # adjacency: direct per-side remap — same dedup state, same
+        # first-seen edge order (every side list is keyed by the canonical
+        # edge scan the previous rebuild produced), no dict->array->dict
+        # round-trip.  Fall back to the rebuild when ids are sparse.
+        lut_l = lut.tolist()
+        fl_l = fl.tolist()
+        alive_all = len(self.seqs) == n
+        if alive_all:
+            bound = len(lut_l)
+            adj = {}
+            for side, lst in self.adj.items():
+                if not lst or side >> 1 >= bound:
+                    continue
+                nid = lut_l[side >> 1]
+                if not nid:
+                    continue
+                ns = (nid << 1) | ((side & 1) ^ fl_l[side >> 1])
+                vals = [(lut_l[v >> 1] << 1) | ((v & 1) ^ fl_l[v >> 1])
+                        for v in lst if v >> 1 < bound and lut_l[v >> 1]]
+                if vals:
+                    adj[ns] = vals
+            g.adj = adj
+        else:
+            epairs = self.edges_array()
+            if len(epairs):
+                ea = remap_vec(epairs)
+                a, b = ea[:, 0], ea[:, 1]
+                _bulk_add_side_edges(g.adj,
+                                     ((a >> 1 << 1) | (1 - (a & 1))).tolist(),
+                                     ((b >> 1 << 1) | (b & 1)).tolist())
         for name, steps in zip(self.path_names, self.path_steps):
             pid = g.create_path(name)
             g.path_steps[pid] = remap_vec(
