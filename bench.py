@@ -75,7 +75,7 @@ def run_ctest_cpu(timeout_s: float = 600.0):
     refs = ("/root/reference/test/data/"
             "gi_568815592_32578768-32589835.txt")
     t0 = time.time()
-    try:
+    try:  # min-of-2 below: this host's CPU steal swings walls +-20%
         # cwd=ctest_dir: the consensus spec basenames are relative, so the
         # consensus@*.gfa outputs must land in the temp dir, not the CWD
         rc = subprocess.run(
@@ -116,7 +116,9 @@ def main() -> int:
             "vs_baseline": 0.0,
             "error": "axon TPU backend unreachable (tunnel down; "
                      "jax.devices() hangs in PJRT init)",
-            "e2e_ctest_native_cpu_s": run_ctest_cpu()}))
+            "e2e_ctest_native_cpu_s": min(
+                filter(None, (run_ctest_cpu(), run_ctest_cpu())),
+                default=None)}))
         return 1
     ensure_backend()
 
@@ -197,7 +199,8 @@ def main() -> int:
         "default_l4000_native_blocks": engine.fallbacks - f0,
     })
 
-    extras["e2e_ctest_native_cpu_s"] = run_ctest_cpu()
+    extras["e2e_ctest_native_cpu_s"] = min(
+        filter(None, (run_ctest_cpu(), run_ctest_cpu())), default=None)
 
     # warm 1-iteration end-to-end (engine shapes already compiled)
     tmp = tempfile.mkdtemp(prefix="smoothxg_bench_")
