@@ -951,12 +951,15 @@ class FusedPallasEngine:
     LCAPS = (512, 1024, 1536, 2048)
     VRS = (8, 16, 24, 32)
 
-    # host-steal calibration (measured: native/cpoa.cpp sustains ~55-60 M
-    # DP cells/s single-thread on this host; the fused kernel ~0.5 M DP
-    # rows/s on a v5e through the axon tunnel).  The device rate is
-    # re-estimated online after every batch run (EMA), so the constants
-    # only steer the first run.
-    NATIVE_CELLS_PS = 200e6   # int16 AVX-512BW fill (native/cpoa.cpp)
+    # host-steal calibration: per-WORKER native fill rate under load
+    # (native/cpoa.cpp measures ~90 M cells/s single-thread unloaded; pool
+    # workers share cores with extraction/finalize, so start lower) and
+    # fused-kernel DP rows/s through the axon tunnel.  Both rates are
+    # re-estimated online (EMA) from watcher threads that time actual
+    # kernel completion / stolen-batch completion, so the constants only
+    # steer the first run; runs that trigger fresh jit compiles are
+    # excluded from the device EMA.
+    NATIVE_CELLS_PS = 60e6    # per pool worker, contended
     DEV_ROWS_PS = 500e3
 
     def __init__(self, max_seqs: int = 48, max_batch: int = 64,
@@ -980,6 +983,9 @@ class FusedPallasEngine:
             else steal
         self.stolen = 0
         self._dev_rows_ps = float(self.DEV_ROWS_PS)
+        self._host_cells_ps = float(self.NATIVE_CELLS_PS)  # per worker
+        self._warm_keys: set = set()   # jit variants already compiled
+        self._fresh_compile = False
         if devices is None:
             try:
                 import jax
@@ -1010,6 +1016,7 @@ class FusedPallasEngine:
             "stolen": self.stolen,
             "device_wait_s": round(self.device_s, 3),
             "dev_rows_per_s": round(self._dev_rows_ps),
+            "host_cells_per_s": round(self._host_cells_ps),
         }
 
     @staticmethod
@@ -1028,7 +1035,7 @@ class FusedPallasEngine:
         cost first, while the pool's estimated time stays under the
         device's estimated time for the remainder.  Mutates dev's lists."""
         w_eff = max(1, self.threads - 1)   # one worker stays on finalize
-        host_ps = self.NATIVE_CELLS_PS * w_eff
+        host_ps = self._host_cells_ps * w_eff
         cand = []
         dev_total = 0.0
         for key, idxs in dev.items():
@@ -1078,6 +1085,7 @@ class FusedPallasEngine:
             meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
                                   jnp.asarray(slen), jnp.asarray(seqs))
             np.asarray(meta)
+            self._warm_keys.add(("k", local, bd, B))
 
     @staticmethod
     def _alphabet(seqs) -> np.ndarray:
@@ -1135,15 +1143,33 @@ class FusedPallasEngine:
         if self.steal and sum(len(v) for v in dev.values()) > cap:
             stolen = self._select_steal(blocks, dev)
             self.stolen += len(stolen)
+        import threading as _threading
         import time as _time
         t_devstart = _time.perf_counter()
         dev_rows = 0.0
+        self._fresh_compile = False
         handles = []
         for idxs in dev.values():
             for i in idxs:
                 dev_rows += self._steal_costs(blocks[i][0])[1]
             for s in range(0, len(idxs), cap):
                 handles.append(self._launch(blocks, idxs[s:s + cap]))
+        # watcher: time actual kernel completion (meta readiness) off the
+        # main thread so the device-rate EMA isn't polluted by consumer
+        # decode/finalize work interleaved with the yields below; runs
+        # that compiled a fresh jit variant are excluded entirely
+        if handles and dev_rows and not self._fresh_compile \
+                and not self.interpret:
+            def _watch_dev(hs=list(handles), rows=dev_rows, t0=t_devstart):
+                try:
+                    for h in hs:
+                        h[1].block_until_ready()
+                except Exception:       # pragma: no cover - backend loss
+                    return
+                dt = max(_time.perf_counter() - t0, 1e-6)
+                self._dev_rows_ps = 0.5 * self._dev_rows_ps + \
+                    0.5 * (rows / dt)
+            _threading.Thread(target=_watch_dev, daemon=True).start()
         # start every handle's D2H as soon as its kernel finishes, so
         # transfers of chunk k ride behind kernel k+1 instead of
         # serializing with the decode loop (the tunnel is the slow link)
@@ -1164,6 +1190,25 @@ class FusedPallasEngine:
 
         fb_futs = _async(fb) if fb else []
         steal_futs = _async(stolen) if stolen else []
+        # watcher: time the stolen batch's actual completion (Future.result
+        # is idempotent/thread-safe) to keep the per-worker host-rate EMA
+        # honest under real contention with extraction/finalize
+        if stolen and self.threads > 1:
+            s_cells = sum(self._steal_costs(blocks[i][0])[0]
+                          for i in stolen)
+            w_eff = max(1, self.threads - 1)
+            t_steal = _time.perf_counter()
+
+            def _watch_host(futs=list(steal_futs), cells=s_cells):
+                try:
+                    for f in futs:
+                        f()
+                except Exception:       # pragma: no cover - worker error
+                    return
+                dt = max(_time.perf_counter() - t_steal, 1e-6)
+                self._host_cells_ps = 0.5 * self._host_cells_ps + \
+                    0.5 * (cells / dt / w_eff)
+            _threading.Thread(target=_watch_host, daemon=True).start()
         redo: list[int] = []
         redo_futs: list = []
         for chunk, meta, exp, paths in handles:
@@ -1207,12 +1252,6 @@ class FusedPallasEngine:
                 blk_paths = [paths[b, r, :len(s)] for r, s in enumerate(seqs)]
                 self.device_blocks += 1
                 yield i, "raw", (base, ring, order, blk_paths)
-        if handles and dev_rows:
-            # online device-rate estimate for the next steal decision
-            # (EMA; elapsed spans packing + kernels + D2H of all chunks)
-            elapsed = max(_time.perf_counter() - t_devstart, 1e-6)
-            self._dev_rows_ps = 0.5 * self._dev_rows_ps + \
-                0.5 * (dev_rows / elapsed)
         for i, f in zip(stolen, steal_futs):
             yield i, "graph", f()
         for i, f in zip(fb, fb_futs):
@@ -1245,6 +1284,10 @@ class FusedPallasEngine:
         seqs = seqs.reshape(B, RW * FOLD, LW // FOLD)
         local = blocks[chunk[0]][2].local
         banded = blocks[chunk[0]][2].wb >= 0
+        key = ("k", local, banded, B)
+        if key not in self._warm_keys:
+            self._warm_keys.add(key)
+            self._fresh_compile = True
         if self.n_dev > 1:
             fn = _compiled_fused_sharded(VW, LW, RW, local, self.interpret,
                                          self.max_batch, self.n_dev, banded)
@@ -1259,6 +1302,10 @@ class FusedPallasEngine:
         rcap = next((t for t in self.RCAPS if t >= maxr), RW)
         lcap = next((t for t in self.LCAPS if t >= maxl), LW)
         if not self.interpret and (rcap < RW or lcap < LW):
+            skey = ("s", min(rcap, RW), min(lcap, LW))
+            if skey not in self._warm_keys:
+                self._warm_keys.add(skey)
+                self._fresh_compile = True
             paths = _paths_slicer(RW, LW // 128, min(rcap, RW),
                                   min(lcap, LW) // 128)(paths)
         self.calls += 1
