@@ -120,3 +120,76 @@ def test_parallel_consensus_specs_match_serial(drb1_path, tmp_path):
     assert f1 == f4 and len(f1) == 2
     for nm in f1:
         assert (d1 / nm).read_bytes() == (d4 / nm).read_bytes()
+
+
+class TestStealBalance:
+    """The host-steal selector must balance by the ONLINE rate estimates
+    (regression: a polluted device EMA once routed 310/384 blocks to a
+    3-worker pool while the chip idled)."""
+
+    def _engine(self, **kw):
+        from smoothxg_tpu.ops.poa_pallas_fused import FusedPallasEngine
+        return FusedPallasEngine(interpret=True, max_batch=4, threads=4,
+                                 devices=1, **kw)
+
+    def _blocks(self, n, L=256, reads=4):
+        import numpy as np
+        from smoothxg_tpu.ops.poa_host import POAParams
+        rng = np.random.default_rng(3)
+        p = POAParams(local=True)
+        out = []
+        for _ in range(n):
+            seqs = [rng.integers(65, 69, L).astype(np.uint8)
+                    for _ in range(reads)]
+            out.append((seqs, [1] * reads, p))
+        return out
+
+    def test_fast_device_steals_little(self):
+        eng = self._engine(steal=True)
+        blocks = self._blocks(32)
+        dev = {(True, False): list(range(32))}
+        eng._dev_rows_ps = 1e9          # device essentially free
+        eng._host_cells_ps = 1e6        # pool very slow
+        stolen = eng._select_steal(blocks, dev)
+        assert len(stolen) <= 1
+
+    def test_slow_device_steals_much(self):
+        eng = self._engine(steal=True)
+        blocks = self._blocks(32)
+        dev = {(True, False): list(range(32))}
+        eng._dev_rows_ps = 1e2          # device nearly dead
+        eng._host_cells_ps = 1e12       # pool essentially free
+        stolen = eng._select_steal(blocks, dev)
+        assert len(stolen) >= 30
+        # dev dict pruned consistently
+        remaining = sum(len(v) for v in dev.values())
+        assert remaining + len(stolen) == 32
+
+    def test_balanced_rates_split_roughly_evenly(self):
+        eng = self._engine(steal=True)
+        blocks = self._blocks(32)
+        dev = {(True, False): list(range(32))}
+        # per-block: nat = 3*L*L cells, dev = 3*L rows.  Pick rates so one
+        # block costs the same on either side, pool width w_eff=3.
+        L = 256.0
+        eng._dev_rows_ps = 3 * L * 4      # 4 blocks/s on device
+        eng._host_cells_ps = 3 * L * L * 4 / 3  # 4 blocks/s across pool
+        stolen = eng._select_steal(blocks, dev)
+        assert 10 <= len(stolen) <= 22
+
+    def test_fresh_compile_skips_dev_ema(self):
+        """A run whose _launch compiled a new variant must not update the
+        device-rate EMA (compile stalls once collapsed it 90x)."""
+        eng = self._engine(steal=False)
+        blocks = self._blocks(3, L=64, reads=2)
+        before = eng._dev_rows_ps
+        for _ in eng.poa_block_batch_iter(blocks):
+            pass
+        # interpret mode never starts the watcher; emulate the gate check:
+        assert eng._fresh_compile is True       # first call compiled
+        assert eng._dev_rows_ps == before
+        eng2 = self._engine(steal=False)
+        eng2._warm_keys = set(eng._warm_keys)
+        for _ in eng2.poa_block_batch_iter(blocks):
+            pass
+        assert eng2._fresh_compile is False     # warmed keys -> not fresh
