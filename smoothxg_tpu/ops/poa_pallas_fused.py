@@ -1001,6 +1001,7 @@ class FusedPallasEngine:
         self.device_blocks = 0
         self.fallbacks = 0
         self.redo = 0            # device-overflow blocks redone on host
+        self.predicted_overflow = 0   # pre-routed by the growth estimate
         self.device_s = 0.0
         if not interpret:
             from .poa_jax import ensure_backend, _enable_compile_cache
@@ -1014,6 +1015,7 @@ class FusedPallasEngine:
             "fallbacks": self.fallbacks,
             "redo": self.redo,
             "stolen": self.stolen,
+            "predicted_overflow": self.predicted_overflow,
             "device_wait_s": round(self.device_s, 3),
             "dev_rows_per_s": round(self._dev_rows_ps),
             "host_cells_per_s": round(self._host_cells_ps),
@@ -1096,6 +1098,23 @@ class FusedPallasEngine:
         return np.unique(np.concatenate([np.asarray(s, np.uint8)
                                          for s in seqs]))
 
+    @staticmethod
+    def _estimate_final_v(seqs, k: int = 16, alpha: float = 3.0) -> float:
+        """Estimate of the POA node count after all rounds: seed L0 plus
+        per-sequence unaligned growth ~ len * mash_distance(seq, seq0) *
+        alpha (alpha absorbs indel clustering and transitive growth;
+        DRB1-measured actual growth sits at 0.4-0.7x this estimate, so it
+        is conservative by ~2x).  Only worth calling when sum(len) > VW —
+        below that, overflow is impossible."""
+        from .minhash import kmer_hashes, mash_distance
+        h0 = kmer_hashes(bytes(bytearray(int(x) for x in seqs[0])), k)
+        est = float(len(seqs[0]))
+        for s in seqs[1:]:
+            d = mash_distance(
+                h0, kmer_hashes(bytes(bytearray(int(x) for x in s)), k), k)
+            est += len(s) * min(1.0, d * alpha)
+        return est
+
     def _eligible(self, seqs) -> bool:
         if not seqs or len(seqs) > self.RW:
             return False
@@ -1106,6 +1125,16 @@ class FusedPallasEngine:
             return False
         # chars8 packs (code+1) in 4-bit fields -> at most 15 distinct bytes
         if len(self._alphabet(seqs)) > 15:
+            return False
+        # growth predictor: a block whose graph will outgrow VW burns its
+        # device rows up to the overflow bail and STILL redoes on the
+        # native pool (DRB1 iteration 1: the one such block is 24.6% of
+        # all device rows) — route it straight to the pool instead.  A
+        # false positive only shifts a block to the host pool (identical
+        # semantics); a miss still hits the in-kernel overflow redo path.
+        if sum(len(s) for s in seqs) > self.VW \
+                and self._estimate_final_v(seqs) > self.VW:
+            self.predicted_overflow += 1
             return False
         return True
 

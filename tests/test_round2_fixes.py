@@ -146,3 +146,38 @@ def test_block_graph_cache_pipeline_identical(tmp_path):
         with open(out) as f:
             outs.append(f.read())
     assert outs[0] == outs[1]
+
+
+def test_overflow_growth_predictor_routes_divergent_blocks():
+    """A block whose estimated POA node count exceeds VW must be routed to
+    the host pool up front (not burn device rows before the in-kernel
+    overflow bail); near-identical blocks of the same size stay device-
+    eligible."""
+    import numpy as np
+    from smoothxg_tpu.ops.poa_pallas_fused import FusedPallasEngine
+    from smoothxg_tpu.utils.dna import encode_seq
+
+    eng = FusedPallasEngine(shape=(512, 1024), max_seqs=16, max_batch=4,
+                            interpret=True)
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+
+    def rand_seq(n):
+        return bases[rng.integers(0, 4, n)].astype(np.int32)
+
+    # three mutually random 400-mers: mash distance ~1 -> est ~1200 > 512
+    divergent = [rand_seq(400) for _ in range(3)]
+    assert not eng._eligible(divergent)
+    assert eng.predicted_overflow == 1
+
+    # same shape, near-identical sequences: est ~ L0 -> device-eligible
+    s0 = rand_seq(400)
+    similar = [s0, s0.copy(), s0.copy()]
+    similar[1][10] = similar[1][10] ^ 0  # keep identical; dist 0
+    assert eng._eligible(similar)
+    assert eng.predicted_overflow == 1
+
+    # below the sum(len) > VW gate the predictor must not even run
+    small = [rand_seq(100), rand_seq(100)]
+    assert eng._eligible(small)
+    assert eng.predicted_overflow == 1
