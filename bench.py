@@ -241,6 +241,7 @@ def main() -> int:
         "device_blocks": st["device_blocks"],
         "host_fallbacks": st["fallbacks"],
         "device_redo": st["redo"],
+        "predicted_overflow": st["predicted_overflow"],
         "engine_calls": st["calls"],
         "device_wait_s": st["device_wait_s"],
         **extras,
