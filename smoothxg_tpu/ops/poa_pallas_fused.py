@@ -1107,11 +1107,11 @@ class FusedPallasEngine:
         is conservative by ~2x).  Only worth calling when sum(len) > VW —
         below that, overflow is impossible."""
         from .minhash import kmer_hashes, mash_distance
-        h0 = kmer_hashes(bytes(bytearray(int(x) for x in seqs[0])), k)
+        h0 = kmer_hashes(np.asarray(seqs[0], np.uint8).tobytes(), k)
         est = float(len(seqs[0]))
         for s in seqs[1:]:
             d = mash_distance(
-                h0, kmer_hashes(bytes(bytearray(int(x) for x in s)), k), k)
+                h0, kmer_hashes(np.asarray(s, np.uint8).tobytes(), k), k)
             est += len(s) * min(1.0, d * alpha)
         return est
 
