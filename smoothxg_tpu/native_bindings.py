@@ -18,6 +18,10 @@ _TRIED = False
 
 
 def _lib_path() -> str:
+    # SMOOTHXG_NATIVE_DIR points tests at alternate builds (tools/run_asan.sh)
+    d = os.environ.get("SMOOTHXG_NATIVE_DIR")
+    if d:
+        return os.path.join(d, "libgraphcore.so")
     return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "native", "libgraphcore.so")
 

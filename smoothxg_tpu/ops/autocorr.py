@@ -8,8 +8,9 @@ For each candidate lag L (sampled every `stride` between min and max lag),
 the autocorrelation is the fraction of matching symbols between seq[:-L] and
 seq[L:].  A lag is reported as a repeat period when its z-score against the
 distribution over all sampled lags is >= min_z; we return the best such lag.
-Vectorized with numpy; the batched JAX variant lives in the same module for
-device-side screening of many sequences at once.
+Vectorized with numpy on the host: the screen runs once per oversized block
+inside the (already pooled) break stage, where sequences are short and the
+host cost is noise next to the POA fill (see DESIGN.md).
 """
 from __future__ import annotations
 

@@ -28,6 +28,10 @@ RING_CAP = 8
 
 
 def _lib_path() -> str:
+    # SMOOTHXG_NATIVE_DIR points tests at alternate builds (tools/run_asan.sh)
+    d = os.environ.get("SMOOTHXG_NATIVE_DIR")
+    if d:
+        return os.path.join(d, "libcpoa.so")
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         os.pardir, "native", "libcpoa.so")

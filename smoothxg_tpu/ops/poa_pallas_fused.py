@@ -1107,9 +1107,17 @@ class FusedPallasEngine:
         is conservative by ~2x).  Only worth calling when sum(len) > VW —
         below that, overflow is impossible."""
         from .minhash import kmer_hashes, mash_distance
-        h0 = kmer_hashes(np.asarray(seqs[0], np.uint8).tobytes(), k)
+        # anchor on the LONGEST sequence: anchoring on seqs[0] degenerates
+        # when it is shorter than k (empty hash set -> mash distance 1.0
+        # for everything -> systematic overflow false positives)
+        a = max(range(len(seqs)), key=lambda i: len(seqs[i]))
+        h0 = kmer_hashes(np.asarray(seqs[a], np.uint8).tobytes(), k)
+        if len(h0) == 0:
+            return 0.0      # every sequence < k: too short to predict
         est = float(len(seqs[0]))
-        for s in seqs[1:]:
+        for i, s in enumerate(seqs):
+            if i == 0:
+                continue
             d = mash_distance(
                 h0, kmer_hashes(np.asarray(s, np.uint8).tobytes(), k), k)
             est += len(s) * min(1.0, d * alpha)

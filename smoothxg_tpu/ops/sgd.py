@@ -112,9 +112,13 @@ def _native_lib():
     import ctypes
     import os
     import subprocess
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), "native", "libsgd.so")
+    d = os.environ.get("SMOOTHXG_NATIVE_DIR")
+    if d:    # alternate builds, e.g. the ASan pass (tools/run_asan.sh)
+        path = os.path.join(d, "libsgd.so")
+    else:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "native", "libsgd.so")
     if not os.path.exists(path):
         try:
             subprocess.run(["make", "-C", os.path.dirname(path), "libsgd.so"],

@@ -155,7 +155,6 @@ def test_overflow_growth_predictor_routes_divergent_blocks():
     eligible."""
     import numpy as np
     from smoothxg_tpu.ops.poa_pallas_fused import FusedPallasEngine
-    from smoothxg_tpu.utils.dna import encode_seq
 
     eng = FusedPallasEngine(shape=(512, 1024), max_seqs=16, max_batch=4,
                             interpret=True)
@@ -170,10 +169,11 @@ def test_overflow_growth_predictor_routes_divergent_blocks():
     assert not eng._eligible(divergent)
     assert eng.predicted_overflow == 1
 
-    # same shape, near-identical sequences: est ~ L0 -> device-eligible
+    # same shape, near-identical sequences (one real substitution): mash
+    # distance near zero -> est ~ L0 -> device-eligible
     s0 = rand_seq(400)
     similar = [s0, s0.copy(), s0.copy()]
-    similar[1][10] = similar[1][10] ^ 0  # keep identical; dist 0
+    similar[1][10] = bases[0] if similar[1][10] != bases[0] else bases[1]
     assert eng._eligible(similar)
     assert eng.predicted_overflow == 1
 

@@ -6,9 +6,11 @@ Each kernel runs N iterations of one cummax-style step (masked roll + max,
 the fused kernel's dominant op) on a (K*8, 256) int32 plane held in VMEM
 scratch.  Slope ns/op vs K tells us the free stacking factor.
 """
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from probe_loop2 import slope  # noqa: E402
 
