@@ -48,7 +48,17 @@ src/smooth.cpp:744-753 spoa Align/AddAlignment per sequence, the whole
 per-block loop of src/smooth.cpp:1904 OMP tasks).  Mosaic constraints and
 the int16 packed score range are as documented in poa_pallas_fused.py.
 
-Capacity overflow (node count past VW, a 9th pred slot, traceback
+A second memory lever beyond stacking: the unstacked kernel stores THREE
+int32 planes per cell (H|Hq, E1|E2, code) but its Hq half is write-only —
+the traceback reads codes, never Hq.  This kernel stores TWO planes —
+H|E1 and E2|CODE16 — at 8 bytes/cell, which buys 1.5x more K*VW*LANES
+under the ~110 MB scoped-VMEM budget (the binding constraint at DRB1
+block sizes, where final V runs 1300-2700).  The 16-bit code requires
+2-bit pred-slot fields, so pred slots are capped at 4 per node (PCAP);
+a 5th distinct predecessor overflows to the native redo exactly like
+node-capacity overflow.  Measured DRB1: zero blocks have >4-pred nodes.
+
+Capacity overflow (node count past VW, a PCAP+1'th pred slot, traceback
 trouble) sets the per-block meta flag and the engine redoes that block on
 the native C++ engine — never a silent truncation.
 """
@@ -62,6 +72,7 @@ NEG16 = -16000
 NEGBIG = -(1 << 30)
 RING_CAP = 8
 FOLD = 8
+PCAP = 4          # pred slots per node (2-bit slot fields in CODE16)
 
 
 @functools.lru_cache(maxsize=16)
@@ -91,7 +102,7 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
 
     def kernel(nseq_s, par_s, slen_r, seqs_r,
                meta_r, exp_r, paths_r,
-               HH, EE, CC,
+               HA, EB,
                baseA, posA, nodeat, ringA, nxtA, npredA, nsuccA, preds8,
                tgtA, bchA, *rankA):
         if banded:
@@ -154,13 +165,16 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
         lanefr = jax.lax.broadcasted_iota(DT, (1, LANES), 1)
 
         def ccell(k, row, j):
-            """Code word of block k at DP row `row` (= topo pos + 1),
-            column j."""
-            r = CC[pl.ds(row * KF + k * FOLD + j // LANES, 1), :]
-            return jnp.max(jnp.where(lanefr == (j % LANES), r, -1))
+            """CODE16 of block k at DP row `row` (= topo pos + 1),
+            column j — the hi half of the EB word.  Sum-extract: the EB
+            word's sign bit can be set (hqz lives at code bit 15), so a
+            max-reduce against a filler would be wrong."""
+            r = EB[pl.ds(row * KF + k * FOLD + j // LANES, 1), :]
+            w = jnp.sum(jnp.where(lanefr == (j % LANES), r, 0))
+            return (w >> 16) & 0xFFFF
 
         def hcell(k, row, j):
-            r = HH[pl.ds(row * KF + k * FOLD + j // LANES, 1), :]
+            r = HA[pl.ds(row * KF + k * FOLD + j // LANES, 1), :]
             return jnp.max(jnp.where(lanefr == (j % LANES), r, NEGBIG))
 
         Rs = [nseq_s[k, 0, 0] for k in range(K)]
@@ -199,11 +213,12 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
             w = w * jnp.where((kc & 4) > 0, 65536, 1)
             return jnp.sum(jnp.where(win, (slab + 1) * w, 0))
 
-        # shared NEG16 pred row (out-of-range pred slots load this)
-        HH[pl.ds(NEGOFF, FOLD), :] = jnp.full(
+        # shared NEG16 pred row (out-of-range pred slots load this):
+        # H = E1 = E2 = NEG16, code irrelevant
+        HA[pl.ds(NEGOFF, FOLD), :] = jnp.full(
             (FOLD, LANES), pack2(NEG16, NEG16), DT)
-        EE[pl.ds(NEGOFF, FOLD), :] = jnp.full(
-            (FOLD, LANES), pack2(NEG16, NEG16), DT)
+        EB[pl.ds(NEGOFF, FOLD), :] = jnp.full(
+            (FOLD, LANES), pack2(NEG16, 0), DT)
 
         # ================= seed every block from its sequence 0 =========
         L0s = [slen_at(k, 0) for k in range(K)]
@@ -231,7 +246,7 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
                     nxtA[ii] = jnp.where(i < L0 - 1, i + 1, -1)
                     npredA[ii] = jnp.where(i >= 1, 1, 0)
                     nsuccA[ii] = jnp.where(i < L0 - 1, 1, 0)
-                    preds8[8 * ii] = i - 1
+                    preds8[PCAP * ii] = i - 1
             return 0
 
         jax.lax.fori_loop(0, (L0max + 7) // 8, seed_chunk, 0)
@@ -271,7 +286,8 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
                         def rploop(p, acc, kb=kb, v=v, np_=np_):
                             lo_, hi_ = acc
                             pid = jnp.maximum(
-                                preds8[8 * (kb + v) + jnp.minimum(p, 7)], 0)
+                                preds8[PCAP * (kb + v)
+                                       + jnp.minimum(p, PCAP - 1)], 0)
                             ok = p < np_
                             return (jnp.where(ok, jnp.minimum(
                                         lo_, mrA[kb + pid]), lo_),
@@ -303,17 +319,16 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
             # ---- DP row 0 (all K blocks) ----
             if local:
                 row0 = jnp.where(colmask, 0, NEG16)
-                HH[pl.ds(0, KF), :] = pack2(row0, row0).astype(DT)
             else:
                 gap1 = -(gP + (colidx - 1) * eP)
                 gap2 = -(qP + (colidx - 1) * cP)
                 row0 = jnp.maximum(gap1, gap2)
                 row0 = jnp.where(colidx == 0, 0, row0)
-                HH[pl.ds(0, KF), :] = pack2(
-                    jnp.where(colmask, row0, NEG16),
-                    jnp.where(colidx == 0, 0, NEG16)).astype(DT)
-            EE[pl.ds(0, KF), :] = jnp.full((KF, LANES),
-                                           pack2(NEG16, NEG16), DT)
+                row0 = jnp.where(colmask, row0, NEG16)
+            # boundary row: H = row0, E1 = E2 = NEG16, code 0
+            HA[pl.ds(0, KF), :] = pack2(row0, NEG16).astype(DT)
+            EB[pl.ds(0, KF), :] = jnp.full((KF, LANES),
+                                           pack2(NEG16, 0), DT)
 
             # ---- fill: K lockstep topo walks; DP row = topo pos + 1 ----
             def fill_body(i, st):
@@ -346,19 +361,20 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
                     for k in range(K):
                         kb = k * NB
                         okp = p < nps[k]
-                        pid = preds8[8 * (kb + vs[k]) + jnp.minimum(p, 7)]
+                        pid = preds8[PCAP * (kb + vs[k])
+                                     + jnp.minimum(p, PCAP - 1)]
                         use0 = (p == 0) & (nps[k] == 0)
                         prow = posA[kb + jnp.maximum(pid, 0)] + 1
                         off = jnp.where(
                             okp, prow * KF + k * FOLD,
                             jnp.where(use0, k * FOLD, NEGOFF))
-                        hhp.append(HH[pl.ds(off, FOLD), :])
-                        eep.append(EE[pl.ds(off, FOLD), :])
+                        hhp.append(HA[pl.ds(off, FOLD), :])
+                        eep.append(EB[pl.ds(off, FOLD), :])
                     hh = jnp.concatenate(hhp, axis=0)
                     ee = jnp.concatenate(eep, axis=0)
                     h = lo16(hh)
-                    x1 = lo16(ee)
-                    x2 = ((ee >> 16) & 0xFFFF) - OFF
+                    x1 = ((hh >> 16) & 0xFFFF) - OFF
+                    x2 = lo16(ee)
                     uh = h > hmax
                     u1 = x1 > e1mx
                     u2 = x2 > e2mx
@@ -412,16 +428,20 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
                 Hrow = jnp.maximum(hq, jnp.maximum(F1, F2))
                 if banded:
                     Hrow = jnp.where(bandm, Hrow, NEG16)
-                HH[pl.ds((i + 1) * KF, KF), :] = pack2(Hrow, hq).astype(DT)
-                EE[pl.ds((i + 1) * KF, KF), :] = pack2(e1r, e2r).astype(DT)
-                code = (mslotr | (e1slotr << 7) | (b1(e1o) << 14)
-                        | (e2slotr << 15) | (b1(e2o) << 22)
-                        | (hqselr << 23) | (b1(hq == Hrow) << 25)
-                        | (b1(F1 == Hrow) << 26)
-                        | (b1(F2 == Hrow) << 27)
-                        | (b1(f1new) << 28) | (b1(f2new) << 29)
-                        | (hqz << 30))
-                CC[pl.ds((i + 1) * KF, KF), :] = code
+                # CODE16 layout: mslot:0-1 e1slot:2-3 e1o:4 e2slot:5-6
+                # e2o:7 hqsel:8-9 hqH:10 f1H:11 f2H:12 f1new:13 f2new:14
+                # hqz:15  (2-bit slots <- PCAP = 4)
+                code = (mslotr | (e1slotr << 2) | (b1(e1o) << 4)
+                        | (e2slotr << 5) | (b1(e2o) << 7)
+                        | (hqselr << 8) | (b1(hq == Hrow) << 10)
+                        | (b1(F1 == Hrow) << 11)
+                        | (b1(F2 == Hrow) << 12)
+                        | (b1(f1new) << 13) | (b1(f2new) << 14)
+                        | (hqz << 15))
+                HA[pl.ds((i + 1) * KF, KF), :] = pack2(Hrow, e1r).astype(DT)
+                EB[pl.ds((i + 1) * KF, KF), :] = (
+                    (code << 16) |
+                    (jnp.maximum(e2r, NEG16) + OFF)).astype(DT)
                 if local:
                     actp = ((ab >> blkidx) & 1) == 1
                     Hm = jnp.where(colmask & actp, Hrow, NEG16)
@@ -535,8 +555,8 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
                     norm = live & (md == 0)
                     # --- scan mode: look for the F-renewal cell ---
                     s_hit = scan & (
-                        (f1b[k] & (((cw >> 28) & 1) == 1)) |
-                        (f2b[k] & (((cw >> 29) & 1) == 1)))
+                        (f1b[k] & (((cw >> 13) & 1) == 1)) |
+                        (f2b[k] & (((cw >> 14) & 1) == 1)))
                     s_miss = scan & (~s_hit)
                     s_bad = s_miss & (j_ <= 0)
                     # --- normal mode ---
@@ -549,22 +569,23 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
                         stop = norm & hlike & i0 & (j_ == 0)
                         lead = norm & hlike & i0 & (~stop)
                     act = norm & hlike & (~i0)
-                    hqeq_c = ((cw >> 25) & 1) == 1
+                    hqeq_c = ((cw >> 10) & 1) == 1
                     hq_route = act & ((ch == 1) | ((ch == 0) & hqeq_c))
                     if local:
-                        stop2 = hq_route & (((cw >> 30) & 1) == 1)
+                        stop2 = hq_route & (((cw >> 15) & 1) == 1)
                         hq_go = hq_route & (~stop2)
                     else:
                         stop2 = jnp.bool_(False)
                         hq_go = hq_route
-                    hqsel_c = (cw >> 23) & 3
+                    hqsel_c = (cw >> 8) & 3
                     # nid can be -1 (boundary row) on done/leading states:
                     # clamp every SMEM index derived from it
                     nidc = jnp.maximum(nid[k], 0)
                     np_ = npredA[kb + nidc]
 
                     def slotpid(s, kb=kb, nidc=nidc, np_=np_):
-                        pid8 = preds8[8 * (kb + nidc) + jnp.minimum(s, 7)]
+                        pid8 = preds8[PCAP * (kb + nidc)
+                                      + jnp.minimum(s, PCAP - 1)]
                         return jnp.where(s < np_, pid8, -1)
 
                     m_take = hq_go & (hqsel_c == 0)
@@ -572,14 +593,14 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
                     e2_in = (hq_go & (hqsel_c == 2)) | (norm & (ch == 3))
                     f_route = act & (ch == 0) & (~hqeq_c)
                     jm1 = jnp.maximum(j_ - 1, 0)
-                    mpid = slotpid(cw & 127)
+                    mpid = slotpid(cw & 3)
                     tgtA[jnp.where(m_take, kt + jm1, kt + LW)] = nid[k]
-                    e1pid = slotpid((cw >> 7) & 127)
-                    e1open_c = ((cw >> 14) & 1) == 1
-                    e2pid = slotpid((cw >> 15) & 127)
-                    e2open_c = ((cw >> 22) & 1) == 1
-                    f1h_c = ((cw >> 26) & 1) == 1
-                    f2h_c = ((cw >> 27) & 1) == 1
+                    e1pid = slotpid((cw >> 2) & 3)
+                    e1open_c = ((cw >> 4) & 1) == 1
+                    e2pid = slotpid((cw >> 5) & 3)
+                    e2open_c = ((cw >> 7) & 1) == 1
+                    f1h_c = ((cw >> 11) & 1) == 1
+                    f2h_c = ((cw >> 12) & 1) == 1
 
                     def rowof(pid):
                         return jnp.where(
@@ -733,21 +754,21 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
 
                     def hb(p, f, kb=kb, vc0=vc0, np_v=np_v, k=k):
                         return f | ((p < np_v)
-                                    & (preds8[8 * (kb + vc0)
-                                              + jnp.minimum(p, 7)]
+                                    & (preds8[PCAP * (kb + vc0)
+                                              + jnp.minimum(p, PCAP - 1)]
                                        == prev[k]))
 
-                    has = jax.lax.fori_loop(0, jnp.minimum(np_v, 8), hb,
+                    has = jax.lax.fori_loop(0, jnp.minimum(np_v, PCAP), hb,
                                             jnp.bool_(False))
                     do_add = act & (prev[k] >= 0) & (~has)
 
                     def add_edge(_, kb=kb, vc0=vc0, np_v=np_v, k=k):
                         prevc = jnp.maximum(prev[k], 0)
-                        preds8[8 * (kb + vc0) + jnp.minimum(np_v, 7)] = \
-                            prev[k]
+                        preds8[PCAP * (kb + vc0)
+                               + jnp.minimum(np_v, PCAP - 1)] = prev[k]
                         npredA[kb + vc0] = np_v + 1
                         nsuccA[kb + prevc] = nsuccA[kb + prevc] + 1
-                        return np_v >= 8
+                        return np_v >= PCAP
 
                     o = o | jax.lax.cond(do_add, add_edge,
                                          lambda _: jnp.bool_(False), None)
@@ -879,9 +900,8 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
                          memory_space=pltpu.VMEM),       # paths
         ],
         scratch_shapes=[
-            pltpu.VMEM(((VW + 1) * KF + FOLD, LANES), DT),   # HH
-            pltpu.VMEM(((VW + 1) * KF + FOLD, LANES), DT),   # EE
-            pltpu.VMEM(((VW + 1) * KF + FOLD, LANES), DT),   # CC
+            pltpu.VMEM(((VW + 1) * KF + FOLD, LANES), DT),   # HA = H | E1
+            pltpu.VMEM(((VW + 1) * KF + FOLD, LANES), DT),   # EB = E2|CODE
             pltpu.SMEM((K * (VW + 1),), DT),       # base
             pltpu.SMEM((K * (VW + 1),), DT),       # topo pos
             pltpu.SMEM((K * (VW + 1),), DT),       # pos -> node inverse
@@ -889,7 +909,7 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
             pltpu.SMEM((K * (VW + 1),), DT),       # nxt
             pltpu.SMEM((K * (VW + 1),), DT),       # npred
             pltpu.SMEM((K * (VW + 1),), DT),       # nsucc
-            pltpu.SMEM((8 * K * (VW + 1),), DT),   # pred slots
+            pltpu.SMEM((PCAP * K * (VW + 1),), DT),   # pred slots
             pltpu.SMEM((K * (LW + 8),), DT),       # targets / splices
             pltpu.SMEM((K * (LW + 8),), DT),       # round's chars
         ] + ([pltpu.SMEM((K * (VW + 1),), DT),
