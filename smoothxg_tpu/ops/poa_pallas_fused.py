@@ -935,21 +935,39 @@ def rehydrate_device_raw(seqs, weights, payload, validate: bool = True):
 class FusedPallasEngine:
     """Block-level device engine: ONE dispatch per batch of blocks.
 
-    Pinned shape (VW, LW, RW) + fixed batch B = one axon AOT compile per
-    `local` variant.  Blocks that don't fit (sequence too long, too many
-    sequences, empty sequences) or that overflow mid-kernel (node/pred
-    capacity, traceback trouble) run on the native C++ engine with
-    identical semantics.
+    Blocks route to a TIER FAMILY of stacked kernels (K blocks per grid
+    step, ops/poa_pallas_stacked.py) by predicted final node count: the
+    fill is instruction-issue-bound, so stacking K blocks' DP rows into
+    one (K*8, LANES) plane multiplies throughput by ~K at near-constant
+    issue cost.  Tier VW bounds satisfy the 2-plane VMEM budget
+    (K*VW*LW <= ~13.7M cells); routing uses the mash growth estimate
+    scaled by ROUTE_MARGIN (the estimate is a measured upper bound —
+    V/est ran 0.57-1.00 across all 59 DRB1 ctest blocks, so 0.85 places
+    most blocks one tier lower with zero observed overflows).
+
+    Blocks that fit no tier (sequence too long, too many sequences,
+    >15 distinct symbols, predicted V past the top tier) or that
+    overflow mid-kernel (node/pred capacity, traceback trouble) run on
+    the native C++ engine with identical semantics.
+
+    Engines built with a custom `shape` (tests) keep the single-tier
+    unstacked kernel exactly as before.
     """
 
-    SHAPE = (4096, 2048)      # (VW, LW)
+    SHAPE = (4096, 2048)      # legacy single-tier (VW, LW)
+
+    # (K, VW, LW) stacked tiers, smallest first; K=1 top tier at VW=6144
+    # catches blocks the old 4096 kernel had to pre-route to the host
+    TIERS = ((8, 768, 1024), (4, 1536, 2048), (2, 3072, 2048),
+             (1, 6144, 2048))
+    ROUTE_MARGIN = 0.85
 
     # D2H slice tiers (see _fused_fn rcap/lcap): few enough that the thin
     # XLA wrapper variants stay cheap, fine enough to cut most of the
     # padded paths-buffer transfer
     RCAPS = (16, 48)
     LCAPS = (512, 1024, 1536, 2048)
-    VRS = (8, 16, 24, 32)
+    VRS = (8, 16, 24, 32, 48)
 
     # host-steal calibration: per-WORKER native fill rate under load
     # (native/cpoa.cpp measures ~90 M cells/s single-thread unloaded; pool
@@ -965,10 +983,26 @@ class FusedPallasEngine:
     def __init__(self, max_seqs: int = 48, max_batch: int = 64,
                  shape: tuple = SHAPE, interpret: bool = False,
                  validate: bool = True, devices: int | None = None,
-                 threads: int = 1, steal: bool | None = None):
+                 threads: int = 1, steal: bool | None = None,
+                 tiers: tuple | None = None):
         from . import poa_native
         from .poa_fused import FusedHostEngine
         self.VW, self.LW = shape
+        # tier selection: production default = the stacked family; a
+        # custom shape (tests, ablations) = one legacy unstacked tier
+        if tiers is None:
+            if tuple(shape) == self.SHAPE and not interpret:
+                tiers = self.TIERS
+            else:
+                tiers = ((1, shape[0], shape[1]),)
+            self.legacy = tuple(shape) != self.SHAPE or interpret
+        else:
+            self.legacy = False
+        self.tiers = tuple(tuple(t) for t in tiers)
+        for K, VW, LW in self.tiers:
+            assert max_batch % K == 0, (max_batch, K)
+        self.VW = max(t[1] for t in self.tiers)
+        self.LW = max(t[2] for t in self.tiers)
         self.RW = max_seqs
         self.max_batch = max_batch
         self.interpret = interpret
@@ -999,6 +1033,7 @@ class FusedPallasEngine:
             self.fallback = FusedHostEngine()
         self.calls = 0
         self.device_blocks = 0
+        self.tier_blocks: dict = {}
         self.fallbacks = 0
         self.redo = 0            # device-overflow blocks redone on host
         self.predicted_overflow = 0   # pre-routed by the growth estimate
@@ -1012,6 +1047,8 @@ class FusedPallasEngine:
         return {
             "calls": self.calls,
             "device_blocks": self.device_blocks,
+            "tier_blocks": {f"K{K}xV{VW}": self.tier_blocks.get(ti, 0)
+                            for ti, (K, VW, LW) in enumerate(self.tiers)},
             "fallbacks": self.fallbacks,
             "redo": self.redo,
             "stolen": self.stolen,
@@ -1065,29 +1102,59 @@ class FusedPallasEngine:
                     del dev[key]
         return stolen
 
-    def warmup(self, locals_=(True,), banded=(False,)):
+    def warmup(self, locals_=(True,), banded=(False,), tiers=None):
+        """Compile (and run once) every (tier, local, banded) kernel
+        variant.  `tiers` limits to specific tier indexes when the
+        caller knows the workload (each variant is its own ~10 s axon
+        compile)."""
         import jax.numpy as jnp
+        from .poa_pallas_stacked import (_compiled_stacked,
+                                         _compiled_stacked_sharded)
         B = self.max_batch * self.n_dev
         nseq = np.ones((B, 1, 1), np.int32)
         par = np.tile(np.array([[[1, 4, 6, 2, 26, 1, 0, 30]]], np.int32),
                       (B, 1, 1))
         slen = np.zeros((B, 1, 128), np.int16)
         slen[:, 0, 0] = 1
-        seqs = np.full((B, self.RW * FOLD, self.LW // FOLD), -1, np.int8)
-        seqs[:, 0, 1] = 0
-        for local in locals_:
-          for bd in banded:
-            if self.n_dev > 1:
-                fn = _compiled_fused_sharded(self.VW, self.LW, self.RW,
-                                             local, self.interpret,
-                                             self.max_batch, self.n_dev, bd)
-            else:
-                fn = _compiled_fused(self.VW, self.LW, self.RW, local,
-                                     self.interpret, B, banded=bd)
-            meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
-                                  jnp.asarray(slen), jnp.asarray(seqs))
-            np.asarray(meta)
-            self._warm_keys.add(("k", local, bd, B))
+        tis = range(len(self.tiers)) if tiers is None else tiers
+        for ti in tis:
+          K, VW, LW = self.tiers[ti]
+          seqs = np.full((B, self.RW * FOLD, LW // FOLD), -1, np.int8)
+          seqs[:, 0, 1] = 0
+          for local in locals_:
+            for bd in banded:
+                if K == 1 and self.legacy:
+                    if self.n_dev > 1:
+                        fn = _compiled_fused_sharded(
+                            VW, LW, self.RW, local, self.interpret,
+                            self.max_batch, self.n_dev, bd)
+                    else:
+                        fn = _compiled_fused(VW, LW, self.RW, local,
+                                             self.interpret, B, banded=bd)
+                elif self.n_dev > 1:
+                    fn = _compiled_stacked_sharded(
+                        K, VW, LW, self.RW, local, self.interpret,
+                        self.max_batch // K, self.n_dev, banded=bd)
+                else:
+                    fn = _compiled_stacked(K, VW, LW, self.RW, local,
+                                           self.interpret, B // K,
+                                           banded=bd)
+                meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
+                                      jnp.asarray(slen), jnp.asarray(seqs))
+                np.asarray(meta)
+                self._warm_keys.add(("k", local, bd, B, ti))
+
+    def warmup_async(self, locals_=(True,), banded=(False,), tiers=None):
+        """Background-thread warmup so kernel compiles overlap the prep /
+        indexing / block-finding stages (VERDICT r2: cold start was 96%
+        compile).  Dispatches are thread-safe; the tunnel serializes
+        execution, so a concurrent foreground dispatch just queues."""
+        import threading
+
+        t = threading.Thread(target=self.warmup,
+                             args=(locals_, banded, tiers), daemon=True)
+        t.start()
+        return t
 
     @staticmethod
     def _alphabet(seqs) -> np.ndarray:
@@ -1123,28 +1190,49 @@ class FusedPallasEngine:
             est += len(s) * min(1.0, d * alpha)
         return est
 
-    def _eligible(self, seqs) -> bool:
+    def _route(self, seqs) -> int | None:
+        """Smallest tier index this block fits, or None (host fallback).
+
+        A block fits tier (K, VW, LW) when every sequence fits the DP
+        width, its seed fits the node budget, and its PREDICTED final
+        node count (sum of lengths as the cheap absolute bound, else the
+        mash growth estimate x ROUTE_MARGIN) fits VW.  A misroute is
+        never wrong — the in-kernel overflow flag redoes the block on
+        the native engine with identical semantics (DRB1-measured: the
+        margin produces zero misroutes, see class docstring)."""
         if not seqs or len(seqs) > self.RW:
-            return False
+            return None
+        maxlen = 0
         for s in seqs:
-            if len(s) == 0 or len(s) + 1 > self.LW:
-                return False
-        if len(seqs[0]) > self.VW:
-            return False
+            if len(s) == 0:
+                return None
+            maxlen = max(maxlen, len(s))
         # chars8 packs (code+1) in 4-bit fields -> at most 15 distinct bytes
         if len(self._alphabet(seqs)) > 15:
-            return False
-        # growth predictor: a block whose graph will outgrow VW burns its
-        # device rows up to the overflow bail and STILL redoes on the
-        # native pool (DRB1 iteration 1: the one such block is 24.6% of
-        # all device rows) — route it straight to the pool instead.  A
-        # false positive only shifts a block to the host pool (identical
-        # semantics); a miss still hits the in-kernel overflow redo path.
-        if sum(len(s) for s in seqs) > self.VW \
-                and self._estimate_final_v(seqs) > self.VW:
+            return None
+        L0 = len(seqs[0])
+        sumlen = sum(len(s) for s in seqs)
+        est = None
+        fits_shape = False
+        for ti, (K, VW, LW) in enumerate(self.tiers):
+            if maxlen + 1 > LW or L0 > VW:
+                continue
+            fits_shape = True
+            if sumlen <= VW:
+                return ti
+            if est is None:
+                est = self._estimate_final_v(seqs) * self.ROUTE_MARGIN
+            if est <= VW:
+                return ti
+        if fits_shape:
+            # growth predictor: a block whose graph will outgrow every
+            # tier burns device rows up to the overflow bail and STILL
+            # redoes on the native pool — route it straight there
             self.predicted_overflow += 1
-            return False
-        return True
+        return None
+
+    def _eligible(self, seqs) -> bool:
+        return self._route(seqs) is not None
 
     def poa_block_batch(self, blocks):
         results = [None] * len(blocks)
@@ -1165,13 +1253,15 @@ class FusedPallasEngine:
         overflow redo).  All device chunks are dispatched up front, so
         work done while consuming a yield overlaps the remaining chunks'
         device execution."""
-        # keyed by (params.local, banded) — each is a separate kernel
-        # variant (banded adds the rank prepass + band mask)
+        # keyed by (params.local, banded, tier) — each is a separate
+        # kernel variant (banded adds the rank prepass + band mask)
         dev: dict[tuple, list[int]] = {}
         fb: list[int] = []
         for i, (seqs, weights, params) in enumerate(blocks):
-            if self._eligible(seqs):
-                dev.setdefault((params.local, params.wb >= 0), []).append(i)
+            ti = self._route(seqs)
+            if ti is not None:
+                dev.setdefault((params.local, params.wb >= 0, ti),
+                               []).append(i)
             else:
                 self.fallbacks += 1
                 fb.append(i)
@@ -1186,11 +1276,16 @@ class FusedPallasEngine:
         dev_rows = 0.0
         self._fresh_compile = False
         handles = []
-        for idxs in dev.values():
+        for key, idxs in dev.items():
+            # cost-sort so each stacked grid step's K lockstep blocks
+            # carry similar round counts / row counts
+            idxs.sort(key=lambda i: (len(blocks[i][0]),
+                                     len(blocks[i][0][0])), reverse=True)
             for i in idxs:
                 dev_rows += self._steal_costs(blocks[i][0])[1]
             for s in range(0, len(idxs), cap):
-                handles.append(self._launch(blocks, idxs[s:s + cap]))
+                handles.append(self._launch(blocks, idxs[s:s + cap],
+                                            key[2]))
         # watcher: time actual kernel completion (meta readiness) off the
         # main thread so the device-rate EMA isn't polluted by consumer
         # decode/finalize work interleaved with the yields below; runs
@@ -1248,11 +1343,12 @@ class FusedPallasEngine:
             _threading.Thread(target=_watch_host, daemon=True).start()
         redo: list[int] = []
         redo_futs: list = []
-        for chunk, meta, exp, paths in handles:
+        for chunk, ti, meta, exp, paths in handles:
             t0 = _time.perf_counter()
+            _, VW_t, LW_t = self.tiers[ti]
             meta = np.asarray(meta)
-            VWr = self.VW // 128
-            ok = (meta[:len(chunk), 1] == 0) & (meta[:len(chunk), 0] <= self.VW)
+            VWr = VW_t // 128
+            ok = (meta[:len(chunk), 1] == 0) & (meta[:len(chunk), 0] <= VW_t)
             maxv = int(meta[:len(chunk), 0][ok].max(initial=0))
             vr = next((t for t in self.VRS if t * 128 >= maxv), VWr)
             vr = min(vr, VWr)
@@ -1263,19 +1359,19 @@ class FusedPallasEngine:
             if paths.ndim == 4:      # sliced (B, rcap, lcapr, 128) planes
                 paths = paths.reshape(paths.shape[0], paths.shape[1], -1)
             else:                    # full (B, RW*LWr, 128) planes
-                paths = paths.reshape(paths.shape[0], self.RW, self.LW)
+                paths = paths.reshape(paths.shape[0], self.RW, LW_t)
             self.device_s += _time.perf_counter() - t0
             # kick overflow redos onto the pool NOW so they overlap the
             # remaining handles' device wait + decode
             h_redo = [i for b, i in enumerate(chunk)
-                      if meta[b, 1] != 0 or int(meta[b, 0]) > self.VW]
+                      if meta[b, 1] != 0 or int(meta[b, 0]) > VW_t]
             if h_redo:
                 redo.extend(h_redo)
                 redo_futs.extend(_async(h_redo))
             for b, i in enumerate(chunk):
                 seqs, weights, params = blocks[i]
                 V = int(meta[b, 0])
-                if meta[b, 1] != 0 or V > self.VW:
+                if meta[b, 1] != 0 or V > VW_t:
                     continue
                 planes = exp[b]
                 # decode compact codes back to raw bytes (same sorted-
@@ -1297,17 +1393,21 @@ class FusedPallasEngine:
         for i, f in zip(redo, redo_futs):
             yield i, "graph", f()
 
-    def _launch(self, blocks, chunk):
+    def _launch(self, blocks, chunk, ti: int = 0):
         import jax.numpy as jnp
+        K, VW, LW = self.tiers[ti]
         if self.n_dev > 1:
             B = self.max_batch * self.n_dev   # shard_map needs full batches
         else:
             B = len(chunk) if self.interpret else self.max_batch
-        RW, LW, VW = self.RW, self.LW, self.VW
-        nseq = np.zeros((B, 1, 1), np.int32)
+        B = ((B + K - 1) // K) * K            # stacked grid = B // K
+        RW = self.RW
+        nseq = np.ones((B, 1, 1), np.int32)
         par = np.zeros((B, 1, 8), np.int32)
         slen = np.zeros((B, 1, 128), np.int16)
+        slen[:, 0, 0] = 1                     # pad blocks: 1 seq of len 1
         seqs = np.full((B, RW, LW), -1, np.int8)
+        seqs[:, 0, 1] = 0
         for b, i in enumerate(chunk):
             sq, weights, p = blocks[i]
             nseq[b, 0, 0] = len(sq)
@@ -1321,16 +1421,29 @@ class FusedPallasEngine:
         seqs = seqs.reshape(B, RW * FOLD, LW // FOLD)
         local = blocks[chunk[0]][2].local
         banded = blocks[chunk[0]][2].wb >= 0
-        key = ("k", local, banded, B)
+        key = ("k", local, banded, B, ti)
         if key not in self._warm_keys:
             self._warm_keys.add(key)
             self._fresh_compile = True
-        if self.n_dev > 1:
-            fn = _compiled_fused_sharded(VW, LW, RW, local, self.interpret,
-                                         self.max_batch, self.n_dev, banded)
+        if K == 1 and self.legacy:
+            if self.n_dev > 1:
+                fn = _compiled_fused_sharded(
+                    VW, LW, RW, local, self.interpret, self.max_batch,
+                    self.n_dev, banded)
+            else:
+                fn = _compiled_fused(VW, LW, RW, local, self.interpret, B,
+                                     banded=banded)
         else:
-            fn = _compiled_fused(VW, LW, RW, local, self.interpret, B,
-                                 banded=banded)
+            from .poa_pallas_stacked import (_compiled_stacked,
+                                             _compiled_stacked_sharded)
+            if self.n_dev > 1:
+                fn = _compiled_stacked_sharded(
+                    K, VW, LW, RW, local, self.interpret,
+                    self.max_batch // K, self.n_dev, banded=banded)
+            else:
+                fn = _compiled_stacked(K, VW, LW, RW, local,
+                                       self.interpret, B // K,
+                                       banded=banded)
         meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
                               jnp.asarray(slen), jnp.asarray(seqs))
         # slice the paths D2H to the chunk's tier while still on device
@@ -1339,11 +1452,12 @@ class FusedPallasEngine:
         rcap = next((t for t in self.RCAPS if t >= maxr), RW)
         lcap = next((t for t in self.LCAPS if t >= maxl), LW)
         if not self.interpret and (rcap < RW or lcap < LW):
-            skey = ("s", min(rcap, RW), min(lcap, LW))
+            skey = ("s", min(rcap, RW), min(lcap, LW), LW)
             if skey not in self._warm_keys:
                 self._warm_keys.add(skey)
                 self._fresh_compile = True
             paths = _paths_slicer(RW, LW // 128, min(rcap, RW),
                                   min(lcap, LW) // 128)(paths)
         self.calls += 1
-        return chunk, meta, exp, paths
+        self.tier_blocks[ti] = self.tier_blocks.get(ti, 0) + len(chunk)
+        return chunk, ti, meta, exp, paths
