@@ -112,6 +112,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "(default, one dispatch per block batch), "
                          "round-level Pallas kernel, batched XLA kernels, "
                          "native C++ single-thread, or the numpy host oracle")
+    th.add_argument("--dist-rank", type=int, default=0,
+                    help="this process's rank in a multi-process "
+                         "data-parallel run (parallel/multiproc)")
+    th.add_argument("--dist-size", type=int, default=1,
+                    help="number of cooperating processes; blocks shard "
+                         "by contiguous global id, results all-gather, "
+                         "rank 0 writes outputs")
+    th.add_argument("--dist-coordinator", default="localhost:29777",
+                    help="jax.distributed coordinator address")
 
     p.add_argument("-v", "--version", action="store_true")
     return p
@@ -197,11 +206,14 @@ def main(argv=None) -> int:
             xg_in=args.xg_in,
             write_split_blocks=args.write_split_block_fastas,
             write_poa_blocks_ms=args.write_poa_block_fastas,
+            dist_rank=args.dist_rank,
+            dist_size=args.dist_size,
+            dist_coordinator=args.dist_coordinator,
             engine=args.engine,
         )
         out, consensus_path_names = run_smoothing(cfg)
 
-        if args.write_consensus_path_names:
+        if args.write_consensus_path_names and args.dist_rank == 0:
             with open(args.write_consensus_path_names, "w") as f:
                 for nm in consensus_path_names:
                     f.write(nm + "\n")
@@ -215,7 +227,7 @@ def main(argv=None) -> int:
         with open(args.consensus_from) as f:
             consensus_path_names = [ln.strip() for ln in f if ln.strip()]
 
-    if specs:
+    if specs and args.dist_rank == 0:
         from .pipeline.consensus_graph import build_consensus_specs
         build_consensus_specs(smoothed_gfa, specs, consensus_path_names,
                               threads=max(1, args.threads))

@@ -956,10 +956,10 @@ class FusedPallasEngine:
 
     SHAPE = (4096, 2048)      # legacy single-tier (VW, LW)
 
-    # (K, VW, LW) stacked tiers, smallest first; K=1 top tier at VW=6144
+    # (K, VW, LW) stacked tiers, smallest first; the VW=6272 K=1 top tier
     # catches blocks the old 4096 kernel had to pre-route to the host
     TIERS = ((8, 768, 1024), (4, 1536, 2048), (2, 3072, 2048),
-             (1, 6144, 2048))
+             (1, 6272, 2048))
     ROUTE_MARGIN = 0.85
 
     # D2H slice tiers (see _fused_fn rcap/lcap): few enough that the thin
@@ -1406,7 +1406,10 @@ class FusedPallasEngine:
         par = np.zeros((B, 1, 8), np.int32)
         slen = np.zeros((B, 1, 128), np.int16)
         slen[:, 0, 0] = 1                     # pad blocks: 1 seq of len 1
-        seqs = np.full((B, RW, LW), -1, np.int8)
+        # empty+fill, not np.full: broadcast-fill is ~25x slower for
+        # multi-MB planes on lazily-backed VM memory (docs/DESIGN.md)
+        seqs = np.empty((B, RW, LW), np.int8)
+        seqs.fill(-1)
         seqs[:, 0, 1] = 0
         for b, i in enumerate(chunk):
             sq, weights, p = blocks[i]

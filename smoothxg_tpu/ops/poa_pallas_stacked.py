@@ -365,11 +365,13 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
                                      + jnp.minimum(p, PCAP - 1)]
                         use0 = (p == 0) & (nps[k] == 0)
                         prow = posA[kb + jnp.maximum(pid, 0)] + 1
-                        off = jnp.where(
-                            okp, prow * KF + k * FOLD,
-                            jnp.where(use0, k * FOLD, NEGOFF))
-                        hhp.append(HA[pl.ds(off, FOLD), :])
-                        eep.append(EB[pl.ds(off, FOLD), :])
+                        # row-unit index x FOLD at the ds site so Mosaic
+                        # can prove the sublane offset is 8-aligned
+                        u = jnp.where(
+                            okp, prow * K + k,
+                            jnp.where(use0, k, (VW + 1) * K))
+                        hhp.append(HA[pl.ds(FOLD * u, FOLD), :])
+                        eep.append(EB[pl.ds(FOLD * u, FOLD), :])
                     hh = jnp.concatenate(hhp, axis=0)
                     ee = jnp.concatenate(eep, axis=0)
                     h = lo16(hh)
@@ -438,8 +440,9 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
                         | (b1(F2 == Hrow) << 12)
                         | (b1(f1new) << 13) | (b1(f2new) << 14)
                         | (hqz << 15))
-                HA[pl.ds((i + 1) * KF, KF), :] = pack2(Hrow, e1r).astype(DT)
-                EB[pl.ds((i + 1) * KF, KF), :] = (
+                HA[pl.ds(FOLD * ((i + 1) * K), KF), :] = \
+                    pack2(Hrow, e1r).astype(DT)
+                EB[pl.ds(FOLD * ((i + 1) * K), KF), :] = (
                     (code << 16) |
                     (jnp.maximum(e2r, NEG16) + OFF)).astype(DT)
                 if local:

@@ -86,6 +86,12 @@ class Config:
     xg_in: str = ""           # load a saved FlatIndex for iteration 1 (-i)
     write_split_blocks: bool = False      # -S split-block FASTA dumps
     write_poa_blocks_ms: int | None = None  # dump blocks slower than N ms
+    # multi-process data parallelism over blocks (parallel/multiproc):
+    # every rank replicates the deterministic host stages, smoothing
+    # shards by contiguous global block id, results all-gather
+    dist_rank: int = 0
+    dist_size: int = 1
+    dist_coordinator: str = "localhost:29777"
     # engine: "host" (numpy oracle) | "jax" (batched TPU kernels)
     engine: str = "host"
 
@@ -120,8 +126,15 @@ def _make_engine(cfg: Config):
             return NativePOAEngine(
                 threads=cfg.poa_threads or cfg.threads or 1)
         from ..ops.poa_pallas_fused import FusedPallasEngine
-        return FusedPallasEngine(
+        eng = FusedPallasEngine(
             threads=cfg.poa_threads or cfg.threads or 1)
+        # background-compile exactly the (local, banded) variant this run
+        # will use, while graph load / prep / indexing / block finding run
+        # on the host (VERDICT r2: cold start was ~96% compile wall)
+        eng.warmup_async(
+            locals_=(cfg.local_alignment and not cfg.use_abpoa,),
+            banded=(cfg.use_abpoa,))
+        return eng
     if cfg.engine == "native":
         from ..ops.poa_native import NativePOAEngine
         return NativePOAEngine(
@@ -137,6 +150,11 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
     n_iters = len(targets)
     path_input = cfg.gfa_in
     consensus_path_names: list[str] = []
+    if cfg.dist_size > 1:
+        # must precede any jax backend init (the engine probe below)
+        from ..parallel.multiproc import init_process_group
+        init_process_group(cfg.dist_coordinator, cfg.dist_size,
+                           cfg.dist_rank)
     engine = _make_engine(cfg)
     if (cfg.threads or 0) > 1 or (cfg.poa_threads or 0) > 1:
         # boot the -t worker pool now so spawn+import overlaps graph
@@ -232,10 +250,16 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
         if cfg.block_graph_cache_min and len(blockset) >= cfg.block_graph_cache_min:
             from ..utils.blockcache import BlockGraphCache
             graph_cache = BlockGraphCache(len(blockset))
+        smooth_fn = smooth_blocks
+        dist_kw = {}
+        if cfg.dist_size > 1:
+            from ..parallel.multiproc import distributed_smooth_blocks
+            smooth_fn = distributed_smooth_blocks
+            dist_kw = dict(rank=cfg.dist_rank, size=cfg.dist_size)
         with phase(tag, f"smoothing {len(blockset)} blocks"):
-            results = smooth_blocks(
+            results = smooth_fn(
                 idx, blockset,
-                params=params,
+                params=params, **dist_kw,
                 adaptive_poa_params=cfg.adaptive_poa_params,
                 kmer_size=cfg.kmer_size,
                 padding_fraction=cfg.poa_padding_fraction,
@@ -250,7 +274,7 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                 graph_cache=graph_cache,
                 threads=cfg.poa_threads or cfg.threads,
                 seqindex=seqidx)
-        if cfg.block_stats and last:
+        if cfg.block_stats and last and cfg.dist_rank == 0:
             from .smooth import write_block_stats
             write_block_stats(cfg.block_stats, results)
         merge_outcome = None
@@ -306,15 +330,21 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                     f"{cfg.min_dedup_depth_for_mash_clustering}"
                     f" kmer_size={cfg.kmer_size}",
             })
-            with phase(tag, f"writing MAF {cfg.write_msa_in_maf_format}"):
-                write_maf(cfg.write_msa_in_maf_format, hdr,
-                          merge_outcome.maf_records)
+            if cfg.dist_rank == 0:
+                with phase(tag, f"writing MAF {cfg.write_msa_in_maf_format}"):
+                    write_maf(cfg.write_msa_in_maf_format, hdr,
+                              merge_outcome.maf_records)
 
-        out_path = cfg.smoothed_out if last else os.path.join(
-            tmpdir, f"{os.path.basename(cfg.gfa_in)}.smooth.{it}.gfa")
+        rsuf = f".r{cfg.dist_rank}" if cfg.dist_size > 1 else ""
+        if last and (cfg.dist_rank == 0 or cfg.dist_size == 1):
+            out_path = cfg.smoothed_out
+        else:
+            out_path = os.path.join(
+                tmpdir,
+                f"{os.path.basename(cfg.gfa_in)}.smooth.{it}{rsuf}.gfa")
         with phase(tag, f"writing smoothed graph {out_path}"):
             write_gfa(smoothed, out_path)
-        if not last:
+        if not last or (cfg.dist_size > 1 and cfg.dist_rank != 0):
             temps.append(out_path)
             if not cfg.keep_temp:
                 tempfiles.register(out_path)

@@ -208,8 +208,14 @@ def smooth_blocks(
     graph_cache=None,
     threads: int = 1,
     seqindex=None,
+    block_id_offset: int = 0,
 ) -> list[BlockResult]:
-    """Smooth every block; returns BlockResults in block-id order."""
+    """Smooth every block; returns BlockResults in block-id order.
+
+    block_id_offset shifts block ids to GLOBAL ids when a distributed
+    rank smooths a contiguous shard of the blockset (parallel/multiproc)
+    so consensus names / MAF records / caches match the single-process
+    run byte-for-byte."""
     engine = engine or HostPOAEngine()
     add_consensus = bool(consensus_base_name)
 
@@ -222,7 +228,7 @@ def smooth_blocks(
         return [idx.path_seq(pid) for pid in range(idx.path_count())]
 
     prepped = []
-    for bid, block in enumerate(blockset):
+    for bid, block in enumerate(blockset, start=block_id_offset):
         pad = _block_padding(idx, block.path_ranges, padding_fraction,
                              max_block_depth_for_padding_more)
         p = params
