@@ -38,30 +38,61 @@ class _WF:
         return out
 
 
-def _extend(m: np.ndarray, ks: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Greedy diagonal extension: m holds offsets (position in a)."""
-    la, lb = len(a), len(b)
+_EXT_CHUNK = 16
+
+
+def _extend(m: np.ndarray, ks: np.ndarray, a: np.ndarray,
+            b: np.ndarray) -> np.ndarray:
+    """Greedy diagonal extension: m holds offsets (position in a).
+
+    Vectorized across the wavefront's active diagonals: each pass gathers
+    a 16-byte window per diagonal and counts its leading matches; only
+    diagonals whose whole window matched survive to the next pass.  The
+    sequences are padded with two DIFFERENT sentinels so the h==la /
+    v==lb stop conditions fall out of the comparison itself (the
+    reference's extension is a per-diagonal scalar loop,
+    src/breaks.cpp:474-502 via wfa::WFAlignerGapAffine)."""
     out = m.copy()
-    for idx in range(len(ks)):
-        off = out[idx]
-        if off <= NEG // 2:
-            continue
-        k = ks[idx]
-        v = off - k  # position in b
-        h = off
-        while h < la and v < lb and a[h] == b[v]:
-            h += 1
-            v += 1
+    idx = np.nonzero(out > NEG // 2)[0]
+    if len(idx) == 0:
+        return out
+    C = _EXT_CHUNK
+    ap = np.empty(len(a) + C, np.int16)
+    ap[:len(a)] = a
+    ap[len(a):] = 256
+    bp = np.empty(len(b) + C, np.int16)
+    bp[:len(b)] = b
+    bp[len(b):] = 257
+    h = out[idx].astype(np.int64)
+    v = h - ks[idx]
+    win = np.arange(C)
+    while len(idx):
+        eq = ap[h[:, None] + win] == bp[v[:, None] + win]
+        full = eq.all(axis=1)
+        ml = np.where(full, C, np.argmin(eq, axis=1))
+        h = h + ml
         out[idx] = h
+        idx = idx[full]
+        h = h[full]
+        v = v[full] + C
     return out
 
 
 def wfa_align(a_str: str | bytes, b_str: str | bytes,
               mismatch: int = 7, gap_open: int = 11, gap_ext: int = 1,
-              max_score: int | None = None):
+              max_score: int | None = None,
+              min_wavefront_length: int = 10,
+              max_distance_threshold: int = 50):
     """Align a vs b with affine-gap WFA. Returns (score, cigar_ops) where
     cigar_ops is a string over M/X/I/D, or (None, None) if max_score exceeded.
-    Diagonal k = h - v (position in a minus position in b)."""
+    Diagonal k = h - v (position in a minus position in b).
+
+    Wavefronts longer than min_wavefront_length are adaptively REDUCED:
+    boundary diagonals whose remaining distance to the target cell lags
+    the best diagonal by more than max_distance_threshold are trimmed —
+    the reference's "bounded reduced WFA" heuristic (src/breaks.cpp:
+    474-502; WFA-adaptive defaults 10/50).  Pass
+    max_distance_threshold=0 to disable and get exact WFA."""
     a = np.frombuffer(a_str.encode() if isinstance(a_str, str) else bytes(a_str), np.uint8)
     b = np.frombuffer(b_str.encode() if isinstance(b_str, str) else bytes(b_str), np.uint8)
     la, lb = len(a), len(b)
@@ -113,7 +144,36 @@ def wfa_align(a_str: str | bytes, b_str: str | bytes,
         wfs[s] = w
         if lo <= k_final <= hi and w.m[k_final - lo] >= off_final:
             return s, _traceback(wfs, s, k_final, a, b, mismatch, gap_open, gap_ext)
+        if max_distance_threshold and len(ks) > min_wavefront_length:
+            _reduce(w, ks, la, lb, max_distance_threshold)
     return None, None
+
+
+def _reduce(w: _WF, ks: np.ndarray, la: int, lb: int, thr: int) -> None:
+    """Adaptive wavefront reduction: NEG out boundary diagonals whose
+    remaining distance to (la, lb) exceeds the wavefront's best by thr.
+    Only the M offsets drive the distance (matching WFA-adaptive); the
+    trim zeroes boundary entries in place so later wavefronts stop
+    growing from them."""
+    live = w.m > NEG // 2
+    if not live.any():
+        return
+    h = np.where(live, w.m, 0)
+    d = np.where(live, (la - h) + (lb - (h - ks)), 1 << 60)
+    lim = d.min() + thr
+    drop = d > lim
+    # trim only a contiguous prefix/suffix (keeps wavefronts compact
+    # without punching interior holes, as WFA-adaptive does), and SLICE
+    # the arrays so later wavefronts stop growing from trimmed diagonals
+    n = len(ks)
+    i = int(np.argmin(drop))            # first kept
+    j = n - 1 - int(np.argmin(drop[::-1]))   # last kept
+    if i > 0 or j < n - 1:
+        w.lo += i
+        w.hi = w.lo + (j - i)
+        w.m = w.m[i:j + 1]
+        w.i = w.i[i:j + 1]
+        w.d = w.d[i:j + 1]
 
 
 def _traceback(wfs, s, k, a, b, mismatch, gap_open, gap_ext) -> str:
