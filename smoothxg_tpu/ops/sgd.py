@@ -42,14 +42,30 @@ def _bucket(v: int, base: float = 1.3, floor: int = 256) -> int:
     return b
 
 
+MINIBATCH = 1024
+
+
 @functools.lru_cache(maxsize=8)
-def _compiled_run(B: int, iter_max: int):
+def _compiled_run(B: int, iter_max: int, mb: int = MINIBATCH):
     """One jit per (term-batch bucket, iter_max): every array operand is
-    pre-padded to its own bucket, and the real sizes arrive as scalars."""
+    pre-padded to its own bucket, and the real sizes arrive as scalars.
+
+    The reference applies term updates Hogwild-sequentially
+    (src/prep.cpp:30-125).  A single fully-batched step must AVERAGE
+    conflicting per-node updates, which loses the sequential compounding
+    and measurably degrades 1D linearity (round-2 mean step rank-jump
+    6.0 vs 3.2 native).  Each iteration's B terms therefore apply as
+    B/mb SEQUENTIAL minibatches (conflict-averaged within a minibatch,
+    compounding across them): at mb=1024 the per-minibatch conflict
+    rate is low and the quality matches the sequential backend (pinned
+    by tests/test_parallel.py rank-jump parity) while each minibatch
+    still fills the vector units."""
     import jax
     import jax.numpy as jnp
     from .poa_jax import _enable_compile_cache
     _enable_compile_cache()   # disk cache: one compile across processes
+    assert B % mb == 0
+    M = B // mb
 
     @jax.jit
     def run(x, key, node, pos, start, count, cdf, etas, caps, T):
@@ -59,38 +75,42 @@ def _compiled_run(B: int, iter_max: int):
             eta = etas[t]
             space_cap = caps[t]
             u1 = jax.random.uniform(k1, (B,))
-            i1 = jnp.minimum((u1 * T).astype(jnp.int32),
-                             T.astype(jnp.int32) - 1)
+            i1_all = jnp.minimum((u1 * T).astype(jnp.int32),
+                                 T.astype(jnp.int32) - 1)
             u = jax.random.uniform(k2, (B,))
             z = jnp.searchsorted(cdf, u) + 1
-            z = jnp.minimum(z, space_cap).astype(jnp.int32)
-            sgn = jnp.where(jax.random.bernoulli(k3, 0.5, (B,)), 1, -1
-                            ).astype(jnp.int32)
-            r1 = i1 - start[i1]
-            cnt = count[i1]
-            r2 = r1 + sgn * z
-            r2 = jnp.where((r2 < 0) | (r2 >= cnt), r1 - sgn * z, r2)
-            r2 = jnp.clip(r2, 0, cnt - 1)
-            i2 = start[i1] + r2
-            n1, n2 = node[i1], node[i2]
-            d = jnp.abs(pos[i1] - pos[i2])
-            ok = (n1 != n2) & (d > 0)
-            d = jnp.maximum(d, 1e-3)
-            mu = jnp.minimum(eta / (d * d), 1.0)
-            dx = x[n1] - x[n2]
-            mag = jnp.abs(dx) + 1e-9
-            delta = mu * (mag - d) / 2.0
-            rr = jnp.where(ok, delta / mag, 0.0)
-            upd = rr * dx
-            # the reference applies term updates Hogwild-sequentially; the
-            # batched equivalent averages conflicting per-node updates so
-            # simultaneous terms cannot compound into divergence
-            acc = jnp.zeros_like(x)
-            cnt_nd = jnp.zeros_like(x)
-            acc = acc.at[n1].add(-upd).at[n2].add(upd)
-            one = jnp.where(ok, 1.0, 0.0)
-            cnt_nd = cnt_nd.at[n1].add(one).at[n2].add(one)
-            x = x + acc / jnp.maximum(cnt_nd, 1.0)
+            z_all = jnp.minimum(z, space_cap).astype(jnp.int32)
+            sgn_all = jnp.where(jax.random.bernoulli(k3, 0.5, (B,)), 1, -1
+                                ).astype(jnp.int32)
+
+            def one_mb(m, x):
+                i1 = jax.lax.dynamic_slice(i1_all, (m * mb,), (mb,))
+                zz = jax.lax.dynamic_slice(z_all, (m * mb,), (mb,))
+                sgn = jax.lax.dynamic_slice(sgn_all, (m * mb,), (mb,))
+                r1 = i1 - start[i1]
+                cnt = count[i1]
+                r2 = r1 + sgn * zz
+                r2 = jnp.where((r2 < 0) | (r2 >= cnt), r1 - sgn * zz, r2)
+                r2 = jnp.clip(r2, 0, cnt - 1)
+                i2 = start[i1] + r2
+                n1, n2 = node[i1], node[i2]
+                d = jnp.abs(pos[i1] - pos[i2])
+                ok = (n1 != n2) & (d > 0)
+                d = jnp.maximum(d, 1e-3)
+                mu = jnp.minimum(eta / (d * d), 1.0)
+                dx = x[n1] - x[n2]
+                mag = jnp.abs(dx) + 1e-9
+                delta = mu * (mag - d) / 2.0
+                rr = jnp.where(ok, delta / mag, 0.0)
+                upd = rr * dx
+                acc = jnp.zeros_like(x)
+                cnt_nd = jnp.zeros_like(x)
+                acc = acc.at[n1].add(-upd).at[n2].add(upd)
+                one = jnp.where(ok, 1.0, 0.0)
+                cnt_nd = cnt_nd.at[n1].add(one).at[n2].add(one)
+                return x + acc / jnp.maximum(cnt_nd, 1.0)
+
+            x = jax.lax.fori_loop(0, M, one_mb, x)
             return (x, key)
         x, _ = jax.lax.fori_loop(0, iter_max, one_iter, (x, key))
         return x
@@ -205,7 +225,9 @@ def path_sgd_order(
     x0 = np.cumsum(node_len) - node_len / 2.0
 
     # bucketed shapes: one compile covers every pipeline iteration
-    B_pad = _bucket(B)
+    # (B rounds up to whole minibatches for the sequential-within-
+    # iteration JAX route)
+    B_pad = -(-_bucket(B) // MINIBATCH) * MINIBATCH
     T_pad = _bucket(T)
     Z_pad = _bucket(zipf_space)
     n_pad = _bucket(n)

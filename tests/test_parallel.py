@@ -181,3 +181,28 @@ def test_sgd_quality_on_drb1(drb1_path):
     blocks_after = len(list(smoothable_blocks(
         FlatIndex(sgd), 700 * 12, 700, 5000, 5000)))
     assert blocks_after <= 2 * blocks_before
+
+
+def test_sgd_jax_route_quality_matches_native(drb1_path):
+    """The pod-scale JAX SGD route (minibatched sequential-within-
+    iteration) must match the sequential native backend's 1D linearity:
+    mean step rank-jump within 1.2x (VERDICT r2: the fully-batched
+    averaging formulation measured 6.0 vs 3.2)."""
+    from smoothxg_tpu.io.gfa import read_gfa
+    from smoothxg_tpu.ops.sgd import path_sgd_order
+
+    g = read_gfa(drb1_path).compact()
+
+    def rank_jump(order):
+        rank = {nid: i for i, nid in enumerate(order)}
+        tot = n = 0
+        for steps in g.path_steps:
+            rs = [rank[h >> 1] for h in steps]
+            for a, b in zip(rs, rs[1:]):
+                tot += abs(b - a)
+                n += 1
+        return tot / max(n, 1)
+
+    rn = rank_jump(path_sgd_order(g, device="native"))
+    rj = rank_jump(path_sgd_order(g, device="cpu"))
+    assert rj <= 1.2 * rn, (rj, rn)
