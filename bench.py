@@ -243,6 +243,9 @@ def main() -> int:
         "host_fallbacks": st["fallbacks"],
         "device_redo": st["redo"],
         "predicted_overflow": st["predicted_overflow"],
+        "stolen": st["stolen"],
+        "tier_blocks": st["tier_blocks"],
+        "dev_rows_per_s": st["dev_rows_per_s"],
         "engine_calls": st["calls"],
         "device_wait_s": st["device_wait_s"],
         **extras,
@@ -250,5 +253,27 @@ def main() -> int:
     return 0
 
 
+def _outer() -> int:
+    # the axon terminal sporadically fails a compile/D2H with
+    # "INTERNAL: TPU backend error" when it was interrupted recently
+    # (observed repeatedly in round 3); a fresh process after a cooldown
+    # recovers.  Run the real bench as a child and retry once.
+    import subprocess
+    env = dict(os.environ)
+    env["BENCH_INNER"] = "1"
+    for attempt in range(2):
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True)
+        sys.stderr.write(r.stderr[-4000:])
+        if r.returncode == 0 and '"metric"' in r.stdout:
+            sys.stdout.write(r.stdout)
+            return 0
+        time.sleep(90)
+    sys.stdout.write(r.stdout)
+    return r.returncode
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("BENCH_INNER"):
+        sys.exit(main())
+    sys.exit(_outer())

@@ -980,7 +980,7 @@ class FusedPallasEngine:
     NATIVE_CELLS_PS = 60e6    # per pool worker, contended
     DEV_ROWS_PS = 500e3
 
-    def __init__(self, max_seqs: int = 48, max_batch: int = 64,
+    def __init__(self, max_seqs: int = 48, max_batch: int = 32,
                  shape: tuple = SHAPE, interpret: bool = False,
                  validate: bool = True, devices: int | None = None,
                  threads: int = 1, steal: bool | None = None,
@@ -1058,15 +1058,17 @@ class FusedPallasEngine:
             "host_cells_per_s": round(self._host_cells_ps),
         }
 
-    @staticmethod
-    def _steal_costs(seqs) -> tuple[float, float]:
+    def _steal_costs(self, seqs, ti: int | None = None) -> tuple[float, float]:
         """(native_cost, device_cost) estimates for one block.  Native DP
         fills ~V x L cells per alignment round (V ~ len(seq0) + growth);
-        the device kernel's per-row cost is L-independent (fixed folded
-        row), so its cost is rows = rounds x V."""
+        the device kernel's per-GRID-row cost is L-independent (fixed
+        folded row) and each grid row carries K stacked blocks, so device
+        cost is rows = rounds x V / K(tier)."""
         L0 = float(len(seqs[0]))
         nat = sum(L0 * len(s) for s in seqs[1:])
         dev = L0 * max(len(seqs) - 1, 1)
+        if ti is not None:
+            dev /= self.tiers[ti][0]
         return nat, dev
 
     def _select_steal(self, blocks, dev: dict) -> list[int]:
@@ -1079,7 +1081,7 @@ class FusedPallasEngine:
         dev_total = 0.0
         for key, idxs in dev.items():
             for i in idxs:
-                nat, du = self._steal_costs(blocks[i][0])
+                nat, du = self._steal_costs(blocks[i][0], key[2])
                 cand.append((nat, du, i, key))
                 dev_total += du
         cand.sort(key=lambda t: t[0])
@@ -1282,7 +1284,7 @@ class FusedPallasEngine:
             idxs.sort(key=lambda i: (len(blocks[i][0]),
                                      len(blocks[i][0][0])), reverse=True)
             for i in idxs:
-                dev_rows += self._steal_costs(blocks[i][0])[1]
+                dev_rows += self._steal_costs(blocks[i][0], key[2])[1]
             for s in range(0, len(idxs), cap):
                 handles.append(self._launch(blocks, idxs[s:s + cap],
                                             key[2]))
@@ -1295,7 +1297,7 @@ class FusedPallasEngine:
             def _watch_dev(hs=list(handles), rows=dev_rows, t0=t_devstart):
                 try:
                     for h in hs:
-                        h[1].block_until_ready()
+                        h[2].block_until_ready()
                 except Exception:       # pragma: no cover - backend loss
                     return
                 dt = max(_time.perf_counter() - t0, 1e-6)
@@ -1306,7 +1308,7 @@ class FusedPallasEngine:
         # transfers of chunk k ride behind kernel k+1 instead of
         # serializing with the decode loop (the tunnel is the slow link)
         for h in handles:
-            for arr in h[1:]:
+            for arr in h[2:]:
                 try:
                     arr.copy_to_host_async()
                 except (AttributeError, RuntimeError):  # pragma: no cover

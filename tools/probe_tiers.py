@@ -69,14 +69,19 @@ def main():
     reps = int(os.environ.get("REPS", "16"))
 
     which = os.environ.get("WHICH", "stacked")
+    threads = int(os.environ.get("THREADS", "1"))
     if which in ("legacy", "both"):
-        eng = FusedPallasEngine(threads=1, steal=False,
+        eng = FusedPallasEngine(threads=threads, steal=False,
                                 tiers=((1, 4096, 2048),))
         eng.legacy = True
         run_engine(eng, tasks, reps, "legacy(1x4096)")
     if which in ("stacked", "both"):
-        eng = FusedPallasEngine(threads=1, steal=False)
-        run_engine(eng, tasks, reps, "stacked-family")
+        eng = FusedPallasEngine(threads=threads, steal=False)
+        run_engine(eng, tasks, reps, f"stacked t{threads} nosteal")
+    if which in ("steal",):
+        mb = int(os.environ.get("MB", "64"))
+        eng = FusedPallasEngine(threads=threads, max_batch=mb)
+        run_engine(eng, tasks, reps, f"stacked t{threads} mb{mb} steal")
 
 
 if __name__ == "__main__":
