@@ -147,7 +147,7 @@ class TestStealBalance:
     def test_fast_device_steals_little(self):
         eng = self._engine(steal=True)
         blocks = self._blocks(32)
-        dev = {(True, False): list(range(32))}
+        dev = {(True, False, 0): list(range(32))}
         eng._dev_rows_ps = 1e9          # device essentially free
         eng._host_cells_ps = 1e6        # pool very slow
         stolen = eng._select_steal(blocks, dev)
@@ -156,7 +156,7 @@ class TestStealBalance:
     def test_slow_device_steals_much(self):
         eng = self._engine(steal=True)
         blocks = self._blocks(32)
-        dev = {(True, False): list(range(32))}
+        dev = {(True, False, 0): list(range(32))}
         eng._dev_rows_ps = 1e2          # device nearly dead
         eng._host_cells_ps = 1e12       # pool essentially free
         stolen = eng._select_steal(blocks, dev)
@@ -168,7 +168,7 @@ class TestStealBalance:
     def test_balanced_rates_split_roughly_evenly(self):
         eng = self._engine(steal=True)
         blocks = self._blocks(32)
-        dev = {(True, False): list(range(32))}
+        dev = {(True, False, 0): list(range(32))}
         # per-block: nat = 3*L*L cells, dev = 3*L rows.  Pick rates so one
         # block costs the same on either side, pool width w_eff=3.
         L = 256.0
