@@ -17,6 +17,45 @@ import numpy as np
 
 NEG = np.iinfo(np.int32).min // 2
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    """Load native/libwfa.so (same algorithm in C++, fuzz-verified
+    identical); None when unavailable — callers fall back to the numpy
+    route below."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE is not None or _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+    d = os.environ.get("SMOOTHXG_NATIVE_DIR")
+    if not d:
+        d = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), "native")
+    path = os.path.join(d, "libwfa.so")
+    if not os.path.exists(path):
+        try:
+            import subprocess
+            subprocess.run(["make", "-C", os.path.dirname(path)],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    lib.wfa_align_c.restype = i64
+    lib.wfa_align_c.argtypes = [
+        ctypes.c_char_p, i64, ctypes.c_char_p, i64,
+        i64, i64, i64, i64, i64, i64,
+        ctypes.c_char_p, ctypes.POINTER(i64)]
+    _NATIVE = lib
+    return _NATIVE
+
 
 class _WF:
     __slots__ = ("lo", "hi", "m", "i", "d")
@@ -82,7 +121,8 @@ def wfa_align(a_str: str | bytes, b_str: str | bytes,
               mismatch: int = 7, gap_open: int = 11, gap_ext: int = 1,
               max_score: int | None = None,
               min_wavefront_length: int = 10,
-              max_distance_threshold: int = 50):
+              max_distance_threshold: int = 50,
+              force_python: bool = False):
     """Align a vs b with affine-gap WFA. Returns (score, cigar_ops) where
     cigar_ops is a string over M/X/I/D, or (None, None) if max_score exceeded.
     Diagonal k = h - v (position in a minus position in b).
@@ -92,7 +132,29 @@ def wfa_align(a_str: str | bytes, b_str: str | bytes,
     the best diagonal by more than max_distance_threshold are trimmed —
     the reference's "bounded reduced WFA" heuristic (src/breaks.cpp:
     474-502; WFA-adaptive defaults 10/50).  Pass
-    max_distance_threshold=0 to disable and get exact WFA."""
+    max_distance_threshold=0 to disable and get exact WFA.
+
+    Runs on the native C++ tier (native/wfa.cpp — the reference links
+    native WFA too) when built; this module is the oracle/fallback.
+    Set force_python=True to pin the numpy route (parity tests)."""
+    if not force_python:
+        lib = _native_lib()
+        if lib is not None:
+            import ctypes
+            ab = a_str.encode() if isinstance(a_str, str) else bytes(a_str)
+            bb = b_str.encode() if isinstance(b_str, str) else bytes(b_str)
+            cap = len(ab) + len(bb) + 1
+            buf = ctypes.create_string_buffer(cap)
+            clen = ctypes.c_int64(0)
+            sc = lib.wfa_align_c(
+                ab, len(ab), bb, len(bb),
+                mismatch, gap_open, gap_ext,
+                -1 if max_score is None else max_score,
+                min_wavefront_length, max_distance_threshold,
+                buf, ctypes.byref(clen))
+            if sc < 0:
+                return None, None
+            return int(sc), buf.raw[:clen.value].decode()
     a = np.frombuffer(a_str.encode() if isinstance(a_str, str) else bytes(a_str), np.uint8)
     b = np.frombuffer(b_str.encode() if isinstance(b_str, str) else bytes(b_str), np.uint8)
     la, lb = len(a), len(b)

@@ -18,6 +18,7 @@ resulting blocks is what gets batched onto the TPU.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -54,6 +55,7 @@ class Blockset:
                         else spill_threshold)
         self._spill = None             # open file handle once spilled
         self._recs: list[tuple[int, int]] = []
+        self.break_stats: dict | None = None   # set by break_blocks
 
     def _spill_block(self, block: Block) -> None:
         import pickle
@@ -85,8 +87,11 @@ class Blockset:
             return self.blocks[i]
         import pickle
         off, ln = self._recs[i]
-        self._spill.seek(off)
-        return Block(path_ranges=pickle.loads(self._spill.read(ln)))
+        # stateless positioned read: get_block stays safe if future
+        # stages read blocks concurrently (pool workers, device feeder)
+        self._spill.flush()
+        data = os.pread(self._spill.fileno(), ln, off)
+        return Block(path_ranges=pickle.loads(data))
 
     def __iter__(self):
         if self._spill is None:

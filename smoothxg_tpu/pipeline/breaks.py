@@ -108,6 +108,9 @@ def break_blocks(
     Log.info("break_blocks",
              f"cut {n_cut} blocks of which {n_repeat} had repeats; "
              f"split {n_split} blocks -> {len(out)} blocks")
+    # machine-readable counters (reference logs these at
+    # src/breaks.cpp:588-590); tests/bench assert the split stage fired
+    out.break_stats = {"cut": n_cut, "repeat": n_repeat, "split": n_split}
     return out
 
 

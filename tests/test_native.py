@@ -54,3 +54,46 @@ def test_native_respects_path_boundaries():
     g.append_step(q, hs[1])
     u = g.unchop(native=True)
     assert u.node_count() == 2
+
+
+@pytest.mark.slow
+def test_native_wfa_parity_fuzz():
+    """native/wfa.cpp must return bit-identical (score, cigar) to the
+    numpy oracle across random pairs, bounds, and reduction settings."""
+    import numpy as np
+
+    from smoothxg_tpu.ops.wfa import _native_lib, wfa_align
+    if _native_lib() is None:      # pragma: no cover
+        pytest.skip("libwfa.so unavailable")
+    rng = np.random.default_rng(42)
+
+    def rseq(n):
+        return "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+
+    def mut(s, p):
+        out = []
+        for c in s:
+            r = rng.random()
+            if r < p * 0.7:
+                out.append("ACGT"[int(rng.integers(0, 4))])
+            elif r < p * 0.85:
+                pass                       # deletion
+            elif r < p:
+                out.extend([c, "ACGT"[int(rng.integers(0, 4))]])
+            else:
+                out.append(c)
+        return "".join(out)
+
+    for _ in range(120):
+        n = int(rng.integers(1, 180))
+        a = rseq(n)
+        if rng.random() < 0.8:
+            b = mut(a, float(rng.uniform(0, 0.3)))
+        else:
+            b = rseq(int(rng.integers(1, 180)))
+        ms = int(rng.integers(5, 400)) if rng.random() < 0.5 else None
+        thr = 0 if rng.random() < 0.3 else 50
+        got = wfa_align(a, b, max_score=ms, max_distance_threshold=thr)
+        want = wfa_align(a, b, max_score=ms, max_distance_threshold=thr,
+                         force_python=True)
+        assert got == want, (len(a), len(b), ms, thr)
