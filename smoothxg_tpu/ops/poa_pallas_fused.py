@@ -1150,13 +1150,49 @@ class FusedPallasEngine:
         """Background-thread warmup so kernel compiles overlap the prep /
         indexing / block-finding stages (VERDICT r2: cold start was 96%
         compile).  Dispatches are thread-safe; the tunnel serializes
-        execution, so a concurrent foreground dispatch just queues."""
+        execution, so a concurrent foreground dispatch just queues.
+
+        Tiers compile LARGEST-CAPACITY FIRST: once the top tier is up,
+        every device-eligible block can run (any block that fits tier i
+        fits tier j>i), so the pipeline's cold start waits for ONE
+        compile; the smaller (more-stacked, faster) tiers come online
+        mid-run via _promote_tier and later batches use them."""
         import threading
 
+        if tiers is None:
+            tiers = tuple(reversed(range(len(self.tiers))))
         t = threading.Thread(target=self.warmup,
                              args=(locals_, banded, tiers), daemon=True)
         t.start()
         return t
+
+    def _promote_tier(self, ti: int, local: bool, banded: bool) -> int:
+        """The routed tier, or — while its kernel variant is still
+        compiling in the warmup thread — the smallest ALREADY-COMPILED
+        larger tier (the tier family is monotone in (VW, LW), so a
+        larger tier holds anything a smaller one does; guarded anyway).
+        With nothing compiled yet (cold first dispatch), collapse to the
+        TOP tier: warmup_async compiles that one first, so the dispatch
+        joins the in-flight compile instead of adding 2-3 more to the
+        critical path.  Steady state always returns ti."""
+        if self.interpret:           # no compile cost to dodge
+            return ti
+        B = self.max_batch * self.n_dev
+
+        def warm(tj):
+            return ("k", local, banded, B, tj) in self._warm_keys
+
+        def fits_up(tj):
+            return (self.tiers[tj][1] >= self.tiers[ti][1]
+                    and self.tiers[tj][2] >= self.tiers[ti][2])
+
+        if warm(ti):
+            return ti
+        for tj in range(ti + 1, len(self.tiers)):
+            if warm(tj) and fits_up(tj):
+                return tj
+        top = len(self.tiers) - 1
+        return top if fits_up(top) else ti
 
     @staticmethod
     def _alphabet(seqs) -> np.ndarray:
@@ -1262,6 +1298,7 @@ class FusedPallasEngine:
         for i, (seqs, weights, params) in enumerate(blocks):
             ti = self._route(seqs)
             if ti is not None:
+                ti = self._promote_tier(ti, params.local, params.wb >= 0)
                 dev.setdefault((params.local, params.wb >= 0, ti),
                                []).append(i)
             else:

@@ -142,3 +142,31 @@ def test_stacked_multidevice_parity():
     gn = en.poa_block_batch(tasks)
     for a, b in zip(g1, gn):
         assert a.base == b.base and a.seq_paths == b.seq_paths
+
+
+def test_promote_tier_prefers_compiled():
+    """Cold-start tier promotion: an uncompiled tier routes up to the
+    smallest compiled larger tier; with nothing compiled it collapses to
+    the TOP tier (the one warmup_async compiles first); steady state
+    (all compiled) returns the routed tier unchanged."""
+    eng = FusedPallasEngine(max_seqs=16, max_batch=8, tiers=TIERS,
+                            interpret=True)
+    eng.interpret = False            # exercise the non-interpret logic
+    B = eng.max_batch * eng.n_dev
+    top = len(TIERS) - 1
+    # nothing compiled: everything collapses to the top tier
+    assert eng._promote_tier(0, True, False) == top
+    assert eng._promote_tier(2, True, False) == top
+    # tier 2 compiled: 0/1 promote to 2, 3 stays (top fallback)
+    eng._warm_keys.add(("k", True, False, B, 2))
+    assert eng._promote_tier(0, True, False) == 2
+    assert eng._promote_tier(1, True, False) == 2
+    assert eng._promote_tier(2, True, False) == 2
+    assert eng._promote_tier(3, True, False) == top
+    # a different variant (banded) is NOT warm -> still top
+    assert eng._promote_tier(0, True, True) == top
+    # all compiled: routed tier wins
+    for ti in range(len(TIERS)):
+        eng._warm_keys.add(("k", True, False, B, ti))
+    for ti in range(len(TIERS)):
+        assert eng._promote_tier(ti, True, False) == ti

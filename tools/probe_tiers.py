@@ -76,8 +76,9 @@ def main():
         eng.legacy = True
         run_engine(eng, tasks, reps, "legacy(1x4096)")
     if which in ("stacked", "both"):
-        eng = FusedPallasEngine(threads=threads, steal=False)
-        run_engine(eng, tasks, reps, f"stacked t{threads} nosteal")
+        mb = int(os.environ.get("MB", "32"))
+        eng = FusedPallasEngine(threads=threads, steal=False, max_batch=mb)
+        run_engine(eng, tasks, reps, f"stacked t{threads} mb{mb} nosteal")
     if which in ("steal",):
         mb = int(os.environ.get("MB", "64"))
         eng = FusedPallasEngine(threads=threads, max_batch=mb)
