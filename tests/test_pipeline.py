@@ -153,3 +153,26 @@ def test_blockset_spill_roundtrip(drb1_path):
     for i in (0, 2, len(mem) - 1):
         assert sp.get_block(i).path_ranges == mem[i].path_ranges
     assert [b.path_ranges for b in sp] == [b.path_ranges for b in mem]
+
+
+def test_autocorr_batch_matches_host_oracle():
+    """Device-batched autocorrelation (SURVEY §7.5): integer match
+    counts on device + float64 statistics on host must be bit-identical
+    to the scalar host loop, across repeats, non-repeats, short
+    sequences, and mixed lengths in one batch."""
+    from smoothxg_tpu.ops.autocorr import repeat, repeat_batch
+    rng = np.random.default_rng(13)
+    unit = "".join("ACGT"[i] for i in rng.integers(0, 4, 50))
+    seqs = [
+        unit * 80,                                            # tandem
+        "".join("ACGT"[i] for i in rng.integers(0, 4, 4000)),  # random
+        "".join("ACGT"[i] for i in rng.integers(0, 4, 90)),    # tiny
+        (unit + "TTACG") * 40,                                 # 55bp period
+        "".join("ACGT"[i] for i in rng.integers(0, 4, 2500)),
+    ]
+    for min_lag, max_lag, stride, z in ((20, 130, 5, 2.0),
+                                        (100, 2000, 50, 6.0)):
+        got = repeat_batch(seqs, min_lag, max_lag, min_z=z, stride=stride)
+        for s, g in zip(seqs, got):
+            want = repeat(s, min_lag, max_lag, min_z=z, stride=stride)
+            assert (g.length, g.z_score) == (want.length, want.z_score)

@@ -170,3 +170,29 @@ def test_promote_tier_prefers_compiled():
         eng._warm_keys.add(("k", True, False, B, ti))
     for ti in range(len(TIERS)):
         assert eng._promote_tier(ti, True, False) == ti
+
+
+def test_full_iupac_alphabet_routes_to_device():
+    """The 4-bit char packing holds 15 distinct symbols — exactly the
+    full IUPAC nucleotide alphabet (ACGT + RYSWKM + BDHV + N), so real
+    IUPAC/N-heavy data never falls back on symbol count; a 16th distinct
+    byte (e.g. lowercase) is the only trigger.  Parity against the
+    oracle on an all-IUPAC block."""
+    eng = FusedPallasEngine(max_seqs=16, max_batch=8, interpret=True,
+                            tiers=TIERS)
+    iupac = "ACGTRYSWKMBDHVN"
+    assert len(iupac) == 15
+    rng = np.random.default_rng(11)
+    base = "".join(iupac[i] for i in rng.integers(0, 15, 120))
+    seqs = [base]
+    for _ in range(3):
+        s = list(base)
+        for _ in range(4):
+            s[int(rng.integers(0, len(s)))] = iupac[int(rng.integers(0, 15))]
+        seqs.append("".join(s))
+    assert eng._route([encode_seq(s) for s in seqs]) is not None
+    # a 16th distinct byte -> principled host fallback
+    seqs16 = [base + "a"] + seqs[1:]
+    assert eng._route([encode_seq(s) for s in seqs16]) is None
+    params = POAParams(local=True)
+    _assert_parity(eng, [seqs], [params])
