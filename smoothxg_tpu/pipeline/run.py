@@ -190,10 +190,22 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
             with phase(tag, f"loading graph {path_input}"):
                 g = read_gfa(path_input)
             if not cfg.no_prep:
+                # Multi-process runs replicate prep on EVERY rank and the
+                # threaded SGD backend is deliberately racy (Hogwild, the
+                # reference's odgi path_linear_sgd semantics) — ranks would
+                # derive different node orders, hence different blocksets,
+                # and the sharded smooth would desync. Force the sequential
+                # deterministic SGD whenever dist_size > 1.
+                prep_threads = cfg.threads or 1
+                if cfg.dist_size > 1 and prep_threads > 1:
+                    Log.info("prep", "dist_size > 1: forcing deterministic "
+                             "sequential SGD prep (threads=1) so all ranks "
+                             "derive the same node order")
+                    prep_threads = 1
                 with phase(tag, "prepping graph"):
                     g = prep(g, cfg.node_chop, use_sgd=cfg.use_sgd,
                              sgd_term_updates=cfg.sgd_term_updates,
-                             threads=cfg.threads or 1)
+                             threads=prep_threads)
             else:
                 g = g.compact()
             with phase(tag, "building flat index"):

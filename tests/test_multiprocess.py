@@ -39,14 +39,18 @@ def test_two_process_run_matches_single(tmp_path):
     _, err = p.communicate(timeout=300)
     assert p.returncode == 0, err.decode()[-2000:]
 
-    # two cooperating ranks
+    # two cooperating ranks, each with -t 4: prep must be forced onto the
+    # deterministic sequential SGD (threads>1 is racy Hogwild by design and
+    # would give each rank a different node order -> desynced blocksets),
+    # so the threaded distributed run still matches the -t 1 single run
+    # byte for byte
     d_out = str(tmp_path / "dist.gfa")
     d_maf = str(tmp_path / "dist.maf")
     procs = []
     for rank in range(2):
         procs.append(_run_cli(
             ["--dist-rank", str(rank), "--dist-size", "2",
-             "--dist-coordinator", coord],
+             "--dist-coordinator", coord, "-t", "4"],
             d_out, d_maf, str(tmp_path / f"tr{rank}")))
     errs = [p.communicate(timeout=300)[1] for p in procs]
     for p, err in zip(procs, errs):
