@@ -85,6 +85,12 @@ def test_golden_drb1_three_iterations(drb1_path, tmp_path):
     # structural metrics are exact (they localize a snapshot break)
     assert got == GOLDEN, got
 
+    # content-level MAF oracle: every s-row reconstructs its source
+    # (input paths and embedded consensus paths) — see test_maf_oracle
+    from tests.test_maf_oracle import check_maf_semantics
+    n_rows, _, n_cons, _ = check_maf_semantics(maf, drb1_path, outp)
+    assert n_rows > 100 and n_cons == GOLDEN["cons"]
+
     # byte-exact snapshot: the whole pipeline is deterministic
     import hashlib
     got_sha = {
