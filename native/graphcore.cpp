@@ -314,11 +314,17 @@ int64_t gc_n_steps(void* r) { return (int64_t)((Result*)r)->g.steps.size(); }
 void gc_copy(void* r, uint8_t* seq_buf, int64_t* node_off, int64_t* edges,
              int64_t* path_off, int64_t* steps, int64_t n_paths) {
     Graph &g = ((Result*)r)->g;
-    memcpy(seq_buf, g.seq.data(), g.seq.size());
-    memcpy(node_off, g.node_off.data(), sizeof(int64_t) * (g.n + 1));
-    memcpy(edges, g.edges.data(), sizeof(int64_t) * g.edges.size());
-    memcpy(path_off, g.path_off.data(), sizeof(int64_t) * (n_paths + 1));
-    memcpy(steps, g.steps.data(), sizeof(int64_t) * g.steps.size());
+    // empty vectors may return data()==nullptr; memcpy with a null source
+    // is UB even for size 0
+    if (!g.seq.empty()) memcpy(seq_buf, g.seq.data(), g.seq.size());
+    if (!g.node_off.empty())
+        memcpy(node_off, g.node_off.data(), sizeof(int64_t) * (g.n + 1));
+    if (!g.edges.empty())
+        memcpy(edges, g.edges.data(), sizeof(int64_t) * g.edges.size());
+    if (!g.path_off.empty())
+        memcpy(path_off, g.path_off.data(), sizeof(int64_t) * (n_paths + 1));
+    if (!g.steps.empty())
+        memcpy(steps, g.steps.data(), sizeof(int64_t) * g.steps.size());
 }
 
 void gc_free(void* r) { delete (Result*)r; }

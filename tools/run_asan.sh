@@ -13,12 +13,13 @@ set -e
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 make -C "$REPO/native" asan
 ASAN_RT=$(g++ -print-file-name=libasan.so)
+UBSAN_RT=$(g++ -print-file-name=libubsan.so)
 # libstdc++ must ride in the preload too: without it the asan
 # __cxa_throw interceptor is left null (libstdc++ only dlopens later,
 # under a python extension) and the first C++ throw hard-aborts
 STDCXX=$(g++ -print-file-name=libstdc++.so.6)
 cd "$REPO"
-env LD_PRELOAD="$ASAN_RT $STDCXX" \
+env LD_PRELOAD="$ASAN_RT $UBSAN_RT $STDCXX" \
     ASAN_OPTIONS=detect_leaks=0:abort_on_error=1 \
     SMOOTHXG_NATIVE_DIR="$REPO/native/asan" \
     JAX_PLATFORMS=cpu \
