@@ -364,6 +364,7 @@ struct FusedPOA {
     int32_t head = -1;
     vector<vector<int32_t>> paths;
     int32_t max_pred = 0;
+    int64_t guard_splits = 0;        // guarded reuse rejections (see thread)
 
     vector<int32_t> order, row_of;
 
@@ -702,15 +703,23 @@ struct FusedPOA {
             int32_t b = seq[j];
             int32_t t = target[j];   // -2 none, -1 insertion, else node
             int32_t v = -1;
+            bool saw_base = false;   // base match visible in scan window
             if (t >= 0) {
                 int32_t cand = t;
                 for (int r = 0; r < ring_cap; ++r) {
-                    if (base[cand] == b && pos[cand] > guard) { v = cand; break; }
+                    if (base[cand] == b) {
+                        saw_base = true;
+                        if (pos[cand] > guard) { v = cand; break; }
+                    }
                     cand = ring[cand];
                     if (cand == t) break;
                 }
             }
             if (v < 0) {
+                // guard-split: spoa's AddAlignment would have reused the
+                // matching-base candidate; the guard rule (or ring cap)
+                // split the aligned group instead (ops/poa_fused docstring)
+                if (saw_base) ++guard_splits;
                 v = new_node(b);
                 if (t >= 0) ring_splices.emplace_back(t, v);
                 if (prev < 0) {
@@ -759,6 +768,7 @@ void* cpoa_run(const int8_t* seqs, const int64_t* seq_off, int64_t R,
 
 int64_t cpoa_n_nodes(void* h) { return ((FusedPOA*)h)->n_nodes(); }
 int64_t cpoa_max_pred(void* h) { return ((FusedPOA*)h)->max_pred; }
+int64_t cpoa_guard_splits(void* h) { return ((FusedPOA*)h)->guard_splits; }
 
 // base/ring/order sized n_nodes; paths sized seq_off[R] (node id per
 // sequence position, concatenated with the input offsets)

@@ -60,6 +60,13 @@ class FusedPOA:
         self.head = -1
         self.paths: list[list[int]] = []
         self.max_pred = 0          # high-water pred slot count (device cap)
+        # count of guard-split events: a matching-base aligned-ring
+        # candidate was visible in the scan window but rejected (guard rule
+        # or ring cap), so a fresh node was created where spoa's
+        # AddAlignment would have reused — the one deliberate divergence
+        # from spoa threading (see module docstring); quantified per block
+        # so the inflation is measured, not asserted
+        self.guard_splits = 0
 
     # ---- structure ----
     def n_nodes(self) -> int:
@@ -139,16 +146,21 @@ class FusedPOA:
             b = int(seq[j])
             t = target.get(j)
             v = -1
+            saw_base = False      # a base match existed in the scan window
             if t is not None:
                 cand = t
                 for _ in range(self.ring_cap):
-                    if self.base[cand] == b and self.pos[cand] > guard:
-                        v = cand
-                        break
+                    if self.base[cand] == b:
+                        saw_base = True
+                        if self.pos[cand] > guard:
+                            v = cand
+                            break
                     cand = self.ring[cand]
                     if cand == t:
                         break
             if v < 0:
+                if saw_base:
+                    self.guard_splits += 1
                 v = self._new_node(b)
                 if t is not None:
                     # splice into t's aligned ring (deferred; see above)
@@ -192,9 +204,108 @@ class FusedPOA:
         """Rehydrate a POAGraph (consensus/MSA machinery) from the fused
         state: edges + weights from the explicit paths, aligned groups from
         the rings, topo order from the list."""
-        return rehydrate(np.asarray(self.base, dtype=np.int32),
-                         np.asarray(self.ring, dtype=np.int32),
-                         self.topo_order(), self.paths, weights)
+        g = rehydrate(np.asarray(self.base, dtype=np.int32),
+                      np.asarray(self.ring, dtype=np.int32),
+                      self.topo_order(), self.paths, weights)
+        g.guard_splits = self.guard_splits
+        return g
+
+
+class SpoaFaithfulPOA(FusedPOA):
+    """Measurement-only oracle implementing spoa's AddAlignment threading
+    faithfully (reference: deps/spoa via src/smooth.cpp:744-753): any
+    matching-base aligned candidate is reused — no guard rule, unbounded
+    ring scan — and when a reuse breaks the incremental topological list
+    (exactly the case the fused engines' guard forbids), the whole order
+    is re-derived by a Kahn sort, the spoa equivalent of its per-
+    AddAlignment TopologicalSort.  On blocks with zero guard events this
+    class runs the IDENTICAL code path as FusedPOA, so any output
+    difference is attributable to the guard rule alone.  Used by
+    tests/test_spoa_divergence.py and PARITY.md to quantify the guard-
+    split divergence; NOT a parity target for the kernels.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self.resorts = 0
+
+    def thread(self, aln, seq: np.ndarray) -> None:
+        L = len(seq)
+        target: dict[int, int | None] = {}
+        for node, sp in aln:
+            if sp is not None:
+                target[sp] = node
+        path: list[int] = []
+        prev = -1
+        violated = False
+        ring_splices: list[tuple[int, int]] = []
+        for j in range(L):
+            b = int(seq[j])
+            t = target.get(j)
+            v = -1
+            if t is not None:
+                cand = t
+                while True:
+                    if self.base[cand] == b:
+                        v = cand
+                        break
+                    cand = self.ring[cand]
+                    if cand == t:
+                        break
+            if v < 0:
+                v = self._new_node(b)
+                if t is not None:
+                    ring_splices.append((t, v))
+                if prev < 0:
+                    self.nxt[v] = self.head
+                    self.head = v
+                    self.pos[v] = -1
+                else:
+                    self.nxt[v] = self.nxt[prev]
+                    self.nxt[prev] = v
+                    self.pos[v] = self.pos[prev]
+            elif prev >= 0 and self.pos[v] <= self.pos[prev]:
+                # reuse that the fused engines' guard would have split off;
+                # conservative (proxy positions may alias) — a spurious
+                # resort is harmless
+                violated = True
+            if prev >= 0:
+                self._add_edge(prev, v)
+            path.append(v)
+            prev = v
+        for t, v in ring_splices:
+            self.ring[v] = self.ring[t]
+            self.ring[t] = v
+        self.paths.append(path)
+        if violated:
+            self.resorts += 1
+            self._kahn_resort()
+
+    def _kahn_resort(self) -> None:
+        """Full topological re-sort, minimally disruptive: ready nodes are
+        released in (previous position, id) order so the list only moves
+        where the new edges force it."""
+        import heapq
+        n = self.n_nodes()
+        self.topo_order()                    # refresh pos[] from the list
+        indeg = [len(p) for p in self.preds]
+        heap = [(self.pos[v], v) for v in range(n) if indeg[v] == 0]
+        heapq.heapify(heap)
+        order: list[int] = []
+        while heap:
+            _, v = heapq.heappop(heap)
+            order.append(v)
+            for w in self.succs[v]:
+                indeg[w] -= 1
+                if indeg[w] == 0:
+                    heapq.heappush(heap, (self.pos[w], w))
+        if len(order) != n:
+            raise RuntimeError(
+                "cycle created by spoa-faithful AddAlignment reuse")
+        self.head = order[0] if order else -1
+        for i, v in enumerate(order):
+            self.pos[v] = i
+            self.nxt[v] = order[i + 1] if i + 1 < n else -1
 
 
 def rehydrate(base: np.ndarray, ring: np.ndarray, order: list[int],

@@ -19,6 +19,11 @@ import numpy as np
 
 
 class POAGraph:
+    # guard-split events recorded by the fused engines that produced this
+    # graph (0 for the spoa-faithful add_alignment path below; see
+    # ops/poa_fused.py docstring and PARITY.md)
+    guard_splits = 0
+
     def __init__(self) -> None:
         self.base: list[int] = []           # byte code per node
         self.preds: list[list[int]] = []

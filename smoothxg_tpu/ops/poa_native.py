@@ -65,6 +65,9 @@ def load() -> ctypes.CDLL | None:
     lib.cpoa_n_nodes.argtypes = [ctypes.c_void_p]
     lib.cpoa_max_pred.restype = i64
     lib.cpoa_max_pred.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "cpoa_guard_splits"):
+        lib.cpoa_guard_splits.restype = i64
+        lib.cpoa_guard_splits.argtypes = [ctypes.c_void_p]
     lib.cpoa_export.restype = None
     lib.cpoa_export.argtypes = [ctypes.c_void_p, p32, p32, p32, p32]
     lib.cpoa_free.restype = None
@@ -78,10 +81,11 @@ def available() -> bool:
 
 
 def poa_block(seqs: list[np.ndarray], p: POAParams,
-              ring_cap: int = RING_CAP):
+              ring_cap: int = RING_CAP, stats_out: dict | None = None):
     """Run the full fused POA loop for one block natively.
     Returns (base, ring, order, paths_flat, seq_off) int32/int64 arrays,
-    or None when the library is unavailable."""
+    or None when the library is unavailable.  stats_out (optional dict)
+    receives per-block engine counters (guard_splits)."""
     lib = load()
     if lib is None:
         return None
@@ -101,6 +105,8 @@ def poa_block(seqs: list[np.ndarray], p: POAParams,
         order = np.zeros(max(V, 1), dtype=np.int32)
         paths = np.zeros(max(int(seq_off[-1]), 1), dtype=np.int32)
         lib.cpoa_export(h, base, ring, order, paths)
+        if stats_out is not None and hasattr(lib, "cpoa_guard_splits"):
+            stats_out["guard_splits"] = int(lib.cpoa_guard_splits(h))
     finally:
         lib.cpoa_free(h)
     return base[:V], ring[:V], order[:V], paths[:int(seq_off[-1])], seq_off
@@ -128,10 +134,14 @@ def _pool_block(args):
     """Worker: native POA + rehydrate for one block (thread worker: the
     ctypes DP call drops the GIL; rehydrate is the small GIL-bound tail)."""
     seqs, weights, params, ring_cap = args
-    base, ring, order, flat, off = poa_block(list(seqs), params, ring_cap)
+    so: dict = {}
+    base, ring, order, flat, off = poa_block(list(seqs), params, ring_cap,
+                                             stats_out=so)
     paths = [flat[off[i]:off[i + 1]].tolist() for i in range(len(seqs))]
-    return rehydrate(base, ring, [int(v) for v in order], paths,
-                     list(weights))
+    g = rehydrate(base, ring, [int(v) for v in order], paths,
+                  list(weights))
+    g.guard_splits = so.get("guard_splits", 0)
+    return g
 
 
 class NativePOAEngine:
@@ -174,11 +184,13 @@ class NativePOAEngine:
             return [f.result for f in futs]
         out = []
         for seqs, weights, params in blocks:
-            r = poa_block(list(seqs), params, self.ring_cap)
+            so: dict = {}
+            r = poa_block(list(seqs), params, self.ring_cap, stats_out=so)
             base, ring, order, flat, off = r
             paths = [flat[off[i]:off[i + 1]].tolist()
                      for i in range(len(seqs))]
             g = rehydrate(base, ring, [int(v) for v in order],
                           paths, list(weights))
+            g.guard_splits = so.get("guard_splits", 0)
             out.append(lambda g=g: g)
         return out

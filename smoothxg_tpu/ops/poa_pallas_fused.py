@@ -263,7 +263,7 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
         # ================= per-sequence rounds =================
         def _round_work(r, carry):
-            head, Vc, ovf = carry
+            head, Vc, ovf, gs = carry
             L = slen_at(r)
             seqv32 = seqs_r[0, pl.ds(r * FOLD, FOLD), :]   # folded chars
 
@@ -560,11 +560,12 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                 tb_bad = st[5] | (~st[3])     # bad chase or iteration overrun
 
             if stage in (1, 2) or stage >= 5:
-                return (head, Vc, ovf | tb_bad)
+                return (head, Vc, ovf | tb_bad, gs)
 
             # ---- threading ----
             def pos_body(j, st2):
-                prev, prevpos, guard, Vc_, head_, ovf_, nspl, prow = st2
+                (prev, prevpos, guard, Vc_, head_, ovf_, nspl, gspl,
+                 prow) = st2
                 bch = bchA[j]             # staged by tclr; SMEM read ~free
                 act = jnp.bool_(True)     # loop runs exactly L positions
                 t = tgtA[j]
@@ -576,36 +577,43 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
 
                 def ring_rest(_):
                     def rbody(s, st3):
-                        found, vsel, psel, cand, wrapped = st3
+                        found, vsel, psel, sawb, cand, wrapped = st3
                         okc = (~found) & (~wrapped)
                         pc = posA[cand]
-                        ok = okc & (baseA[cand] == bch) & (pc > guard)
+                        bm = baseA[cand] == bch
+                        sawb = sawb | (okc & bm)
+                        ok = okc & bm & (pc > guard)
                         vsel = jnp.where(ok, cand, vsel)
                         psel = jnp.where(ok, pc, psel)
                         found = found | ok
                         cn = ringA[cand]
                         wrapped = wrapped | (cn == t0)
                         cand = jnp.where(okc, cn, cand)
-                        return (found, vsel, psel, cand, wrapped)
+                        return (found, vsel, psel, sawb, cand, wrapped)
 
                     c1 = ringA[t0]
-                    found, vsel, psel, _, _ = jax.lax.fori_loop(
+                    found, vsel, psel, sawb, _, _ = jax.lax.fori_loop(
                         0, RING_CAP - 1, rbody,
                         (jnp.bool_(False), jnp.int32(-1), jnp.int32(-1),
-                         c1, c1 == t0))
-                    return (found, vsel, psel)
+                         jnp.bool_(False), c1, c1 == t0))
+                    return (found, vsel, psel, sawb)
 
                 if stage == 3:
-                    found_r, vsel_r, psel_r = (jnp.bool_(False),
-                                               jnp.int32(-1), jnp.int32(-1))
+                    found_r, vsel_r, psel_r, sawb_r = (
+                        jnp.bool_(False), jnp.int32(-1), jnp.int32(-1),
+                        jnp.bool_(False))
                 else:
-                    found_r, vsel_r, psel_r = jax.lax.cond(
+                    found_r, vsel_r, psel_r, sawb_r = jax.lax.cond(
                         tvalid & (~hit0), ring_rest,
                         lambda _: (jnp.bool_(False), jnp.int32(-1),
-                                   jnp.int32(-1)), None)
+                                   jnp.int32(-1), jnp.bool_(False)), None)
                 found = hit0 | found_r
                 vsel = jnp.where(hit0, t0, vsel_r)
                 possel = jnp.where(hit0, p0, psel_r)
+                # base match existed in the scan window but was rejected
+                # (guard rule / ring cap): spoa would reuse, the fused
+                # semantics split — counted per block (ops/poa_fused)
+                saw_base = (tvalid & (b0 == bch)) | sawb_r
 
                 def mk_new(_):
                     vnew = Vc_
@@ -694,14 +702,17 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                                   jnp.full((1, 128), -1, DT), prow)
                 nprev = jnp.where(act, v, prev)
                 nprevpos = jnp.where(act & found, possel, prevpos)
+                ngspl = jnp.where(create & saw_base, gspl + 1, gspl)
                 return (nprev, nprevpos, nguard, nVc, nh, ovf_ | o, nnspl,
-                        nprow)
+                        ngspl, nprow)
 
             st2 = jax.lax.fori_loop(
                 0, L, pos_body,
                 (jnp.int32(-1), jnp.int32(-1), jnp.int32(-1), Vc, head,
-                 ovf | tb_bad, jnp.int32(0), jnp.full((1, 128), -1, DT)))
-            Vc2, head2, ovf2, nspl2 = st2[3], st2[4], st2[5], st2[6]
+                 ovf | tb_bad, jnp.int32(0), gs,
+                 jnp.full((1, 128), -1, DT)))
+            Vc2, head2, ovf2, nspl2, gs2 = (st2[3], st2[4], st2[5], st2[6],
+                                            st2[7])
 
             # apply the deferred ring splices (targets are distinct within
             # a round, so order is immaterial; buffer order == position
@@ -712,7 +723,7 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
                 return 0
 
             jax.lax.fori_loop(0, nspl2, spl_body, 0)
-            return (head2, Vc2, ovf2)
+            return (head2, Vc2, ovf2, gs2)
 
         def round_body(r, carry):
             # a block that overflowed (node/pred capacity, traceback
@@ -722,8 +733,9 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
             return jax.lax.cond(carry[2], lambda c: c,
                                 lambda c: _round_work(r, c), carry)
 
-        head, Vc, ovf = jax.lax.fori_loop(
-            1, R, round_body, (jnp.int32(0), L0, jnp.bool_(False)))
+        head, Vc, ovf, gsplits = jax.lax.fori_loop(
+            1, R, round_body, (jnp.int32(0), L0, jnp.bool_(False),
+                               jnp.int32(0)))
 
         # ================= export =================
         Vcc = jnp.minimum(Vc, VW)
@@ -751,7 +763,7 @@ def _pallas_core(VW: int, LW: int, RW: int, local: bool, interpret: bool,
         meta_r[0, 0, 0] = Vc
         meta_r[0, 0, 1] = jnp.where(ovf, 1, 0)
         meta_r[0, 0, 2] = R
-        meta_r[0, 0, 3] = 0
+        meta_r[0, 0, 3] = gsplits
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -918,7 +930,7 @@ def rehydrate_device_raw(seqs, weights, payload, validate: bool = True):
     Module-level so finalize pool workers can run it off the main
     process."""
     from .poa_fused import rehydrate
-    base, ring, order, blk_paths = payload
+    base, ring, order, blk_paths = payload[:4]
     if validate:
         # fail fast on any kernel bug: every path must spell its sequence
         V = len(base)
@@ -928,8 +940,11 @@ def rehydrate_device_raw(seqs, weights, payload, validate: bool = True):
                     not np.array_equal(base[pa], np.asarray(s, np.int32))):
                 raise RuntimeError(
                     "fused kernel produced an invalid path")
-    return rehydrate(base, ring, [int(v) for v in order], blk_paths,
-                     list(weights))
+    g = rehydrate(base, ring, [int(v) for v in order], blk_paths,
+                  list(weights))
+    if len(payload) > 4:
+        g.guard_splits = int(payload[4])
+    return g
 
 
 class FusedPallasEngine:
@@ -1033,6 +1048,7 @@ class FusedPallasEngine:
             self.fallback = FusedHostEngine()
         self.calls = 0
         self.device_blocks = 0
+        self.guard_splits = 0    # spoa-divergence counter (PARITY.md)
         self.tier_blocks: dict = {}
         self.fallbacks = 0
         self.redo = 0            # device-overflow blocks redone on host
@@ -1050,6 +1066,7 @@ class FusedPallasEngine:
             "tier_blocks": {f"K{K}xV{VW}": self.tier_blocks.get(ti, 0)
                             for ti, (K, VW, LW) in enumerate(self.tiers)},
             "fallbacks": self.fallbacks,
+            "guard_splits": self.guard_splits,
             "redo": self.redo,
             "stolen": self.stolen,
             "predicted_overflow": self.predicted_overflow,
@@ -1423,14 +1440,22 @@ class FusedPallasEngine:
                 # the bytes and cost of an int16 array
                 blk_paths = [paths[b, r, :len(s)] for r, s in enumerate(seqs)]
                 self.device_blocks += 1
-                yield i, "raw", (base, ring, order, blk_paths)
+                self.guard_splits += int(meta[b, 3])
+                yield i, "raw", (base, ring, order, blk_paths,
+                                 int(meta[b, 3]))
         for i, f in zip(stolen, steal_futs):
-            yield i, "graph", f()
+            g = f()
+            self.guard_splits += getattr(g, "guard_splits", 0)
+            yield i, "graph", g
         for i, f in zip(fb, fb_futs):
-            yield i, "graph", f()
+            g = f()
+            self.guard_splits += getattr(g, "guard_splits", 0)
+            yield i, "graph", g
         self.redo += len(redo)
         for i, f in zip(redo, redo_futs):
-            yield i, "graph", f()
+            g = f()
+            self.guard_splits += getattr(g, "guard_splits", 0)
+            yield i, "graph", g
 
     def _launch(self, blocks, chunk, ti: int = 0):
         import jax.numpy as jnp

@@ -253,7 +253,7 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
 
         # ================= per-sequence rounds ==========================
         def _round_work(r, carry):
-            heads, Vcs, ovfs = carry     # tuples of K scalars
+            heads, Vcs, ovfs, gss = carry     # tuples of K scalars
             Ls = [slen_at(k, r) for k in range(K)]
             # a block is live this round iff it still has sequences and
             # hasn't overflowed (the unstacked kernel skips the whole
@@ -663,7 +663,8 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
 
             if stage == 1:
                 return (tuple(heads), tuple(Vcs),
-                        tuple(ovfs[k] | tb_bads[k] for k in range(K)))
+                        tuple(ovfs[k] | tb_bads[k] for k in range(K)),
+                        tuple(gss))
 
             # ---- threading: K lockstep guarded-ring walks ----
             def pos_body(j, st2):
@@ -674,7 +675,8 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
                 head_ = list(st2[4])
                 ovf_ = list(st2[5])
                 nspl = list(st2[6])
-                prow = list(st2[7])
+                gspl = list(st2[7])
+                prow = list(st2[8])
                 for k in range(K):
                     kb = k * NB
                     kt = k * (LW + 8)
@@ -689,32 +691,36 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
 
                     def ring_rest(_, kb=kb, t0=t0, bch=bch, gk=guard[k]):
                         def rbody(s, st3):
-                            found, vsel, psel, cand, wrapped = st3
+                            found, vsel, psel, sawb, cand, wrapped = st3
                             okc = (~found) & (~wrapped)
                             pc = posA[kb + cand]
-                            ok = okc & (baseA[kb + cand] == bch) & (pc > gk)
+                            bm = baseA[kb + cand] == bch
+                            sawb = sawb | (okc & bm)
+                            ok = okc & bm & (pc > gk)
                             vsel = jnp.where(ok, cand, vsel)
                             psel = jnp.where(ok, pc, psel)
                             found = found | ok
                             cn = ringA[kb + cand]
                             wrapped = wrapped | (cn == t0)
                             cand = jnp.where(okc, cn, cand)
-                            return (found, vsel, psel, cand, wrapped)
+                            return (found, vsel, psel, sawb, cand, wrapped)
 
                         c1 = ringA[kb + t0]
-                        found, vsel, psel, _, _ = jax.lax.fori_loop(
+                        found, vsel, psel, sawb, _, _ = jax.lax.fori_loop(
                             0, RING_CAP - 1, rbody,
                             (jnp.bool_(False), jnp.int32(-1),
-                             jnp.int32(-1), c1, c1 == t0))
-                        return (found, vsel, psel)
+                             jnp.int32(-1), jnp.bool_(False), c1, c1 == t0))
+                        return (found, vsel, psel, sawb)
 
-                    found_r, vsel_r, psel_r = jax.lax.cond(
+                    found_r, vsel_r, psel_r, sawb_r = jax.lax.cond(
                         tvalid & (~hit0), ring_rest,
                         lambda _: (jnp.bool_(False), jnp.int32(-1),
-                                   jnp.int32(-1)), None)
+                                   jnp.int32(-1), jnp.bool_(False)), None)
                     found = hit0 | found_r
                     vsel = jnp.where(hit0, t0, vsel_r)
                     possel = jnp.where(hit0, p0, psel_r)
+                    # guard-split detection (see ops/poa_pallas_fused)
+                    saw_base = (tvalid & (b0 == bch)) | sawb_r
 
                     def mk_new(_, k=k, kb=kb, t0=t0, tvalid=tvalid,
                                bch=bch):
@@ -793,21 +799,25 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
                     head_[k] = nh
                     ovf_[k] = ovf_[k] | o
                     nspl[k] = nnspl
+                    gspl[k] = jnp.where(create & saw_base, gspl[k] + 1,
+                                        gspl[k])
                 return tuple(map(tuple, (prev, prevpos, guard, Vc_, head_,
-                                         ovf_, nspl))) + (tuple(prow),)
+                                         ovf_, nspl, gspl))) + (tuple(prow),)
 
             if stage == 2:
                 return (tuple(heads), tuple(Vcs),
-                        tuple(ovfs[k] | tb_bads[k] for k in range(K)))
+                        tuple(ovfs[k] | tb_bads[k] for k in range(K)),
+                        tuple(gss))
 
             st2 = jax.lax.fori_loop(
                 0, Lmax, pos_body,
                 ((jnp.int32(-1),) * K, (jnp.int32(-1),) * K,
                  (jnp.int32(-1),) * K, tuple(Vcs), tuple(heads),
                  tuple(ovfs[k] | tb_bads[k] for k in range(K)),
-                 (jnp.int32(0),) * K,
+                 (jnp.int32(0),) * K, tuple(gss),
                  tuple(jnp.full((1, 128), -1, DT) for _ in range(K))))
-            Vc2, head2, ovf2, nspl2 = st2[3], st2[4], st2[5], st2[6]
+            Vc2, head2, ovf2, nspl2, gs2 = (st2[3], st2[4], st2[5], st2[6],
+                                            st2[7])
 
             # apply the deferred ring splices (per block)
             nsmax = jnp.int32(0)
@@ -828,15 +838,16 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
                           for k in range(K)),
                     tuple(jnp.where(ract[k], Vc2[k], Vcs[k])
                           for k in range(K)),
-                    tuple(ovf2[k] for k in range(K)))
+                    tuple(ovf2[k] for k in range(K)),
+                    tuple(gs2))
 
         Rmax = Rs[0]
         for k in range(1, K):
             Rmax = jnp.maximum(Rmax, Rs[k])
-        heads, Vcs, ovfs = jax.lax.fori_loop(
+        heads, Vcs, ovfs, gss = jax.lax.fori_loop(
             1, Rmax, _round_work,
             ((jnp.int32(0),) * K, tuple(L0s),
-             (jnp.bool_(False),) * K))
+             (jnp.bool_(False),) * K, (jnp.int32(0),) * K))
 
         # ================= export =================
         Vccs = [jnp.minimum(Vcs[k], VW) for k in range(K)]
@@ -879,7 +890,7 @@ def _stacked_core(K: int, VW: int, LW: int, RW: int, local: bool,
             meta_r[k, 0, 0] = Vcs[k]
             meta_r[k, 0, 1] = jnp.where(ovfs[k], 1, 0)
             meta_r[k, 0, 2] = Rs[k]
-            meta_r[k, 0, 3] = 0
+            meta_r[k, 0, 3] = gss[k]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

@@ -428,10 +428,13 @@ def _native_full_chunk(idx_ver: int, idx_path: str, seqindex, items: list,
         max_u = max(max_u, len(st.useqs))
         t0 = _time.perf_counter()
         es = [encode_seq(s) for s in st.useqs]
-        base, ring, order, flat, off = poa_block(es, st.params, ring_cap)
+        so: dict = {}
+        base, ring, order, flat, off = poa_block(es, st.params, ring_cap,
+                                                 stats_out=so)
         paths = [flat[off[i]:off[i + 1]].tolist() for i in range(len(es))]
         st.graph = rehydrate(base, ring, [int(v) for v in order], paths,
                              list(st.weights))
+        st.graph.guard_splits = so.get("guard_splits", 0)
         st.poa_ms = (_time.perf_counter() - t0) * 1e3
         res = _finalize_block(_W_IDX, st, add_consensus,
                               consensus_base_name, produce_maf)
@@ -566,6 +569,7 @@ STATS_COLUMNS = [
     "xpoa.graph.nodes", "xpoa.graph.edges",
     "smoothed.graph.len", "smoothed.graph.nodes", "smoothed.graph.edges",
     "smoothed.graph.paths", "smoothed.graph.steps",
+    "poa.guard.splits",
 ]
 
 
@@ -584,6 +588,9 @@ def _block_stats(st: _BlockState, res: BlockResult) -> dict:
         "avg.seq.len": round(sum(plens) / len(plens), 1),
         "xpoa.graph.nodes": st.graph.n_nodes() if st.graph else 0,
         "xpoa.graph.edges": len(st.graph.edge_w) if st.graph else 0,
+        # fused-threading divergence counter (ops/poa_fused docstring;
+        # 0 under the spoa-faithful add_alignment engines)
+        "poa.guard.splits": getattr(st.graph, "guard_splits", 0),
     }
     bg = bg_res
     if bg is not None:

@@ -36,6 +36,8 @@ def assert_block_parity(engine, seqs, p):
     assert g.seq_paths == f.paths
     assert g._topo == f.topo_order()
     assert g.group == f.to_poa_graph([1] * len(seqs)).group
+    # the spoa-divergence counter (meta lane 3) matches the oracle
+    assert g.guard_splits == f.guard_splits
 
 
 @pytest.mark.parametrize("local", [True, False])

@@ -47,6 +47,7 @@ def _assert_parity(engine, blocks, params):
         assert g.base == f.base
         assert g.seq_paths == f.paths
         assert g._topo == f.topo_order()
+        assert g.guard_splits == f.guard_splits
 
 
 def test_routing_picks_smallest_fitting_tier():
