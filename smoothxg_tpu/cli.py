@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     poa.add_argument("-A", "--abpoa", action="store_true")
     poa.add_argument("-Z", "--change-alignment-mode", action="store_true",
                      help="global alignment instead of local")
+    poa.add_argument("--long-poa-band", default="4k",
+                     help="blocks whose longest padded sequence exceeds "
+                          "this align with abPOA band semantics (global + "
+                          "adaptive band) instead of full-width spoa; "
+                          "0 disables (full width at any length)")
 
     cons = p.add_argument_group("consensus graph(s)")
     cons.add_argument("-P", "--ref-paths", default="",
@@ -189,6 +194,7 @@ def main(argv=None) -> int:
                 handy_parameter(args.max_block_depth_adaptive_poa_padding, 1000)),
             use_abpoa=args.abpoa,
             local_alignment=not args.change_alignment_mode,
+            long_poa_band=int(handy_parameter(args.long_poa_band, 4096)),
             consensus_path_prefix=args.consensus_prefix,
             add_consensus=add_consensus,
             write_msa_in_maf_format=args.write_msa_in_maf_format,

@@ -971,18 +971,33 @@ class FusedPallasEngine:
 
     SHAPE = (4096, 2048)      # legacy single-tier (VW, LW)
 
-    # (K, VW, LW) stacked tiers, smallest first; the VW=6272 K=1 top tier
-    # catches blocks the old 4096 kernel had to pre-route to the host
-    TIERS = ((8, 768, 1024), (4, 1536, 2048), (2, 3072, 2048),
-             (1, 6272, 2048))
+    # (K, VW, LW, W) windowed-kernel tiers, smallest first.  W = stored
+    # DP window (= LW for full-width tiers).  The 6 B/cell layout
+    # (ops/poa_pallas_win.py) buys K*VW*W <= ~18M cells under the scoped
+    # VMEM budget, so K=4 rides VW=2304 — covering the bulk of real
+    # blocks (measured DRB1 ctest: 19/24 target-700 blocks fit
+    # V<=2304 & L<=1919) — and the K=1 top tier reaches VW=8704.
+    # The LONG tier stores a 1408-lane banded window against sequences
+    # up to 10k: the default `-l 4000` pipeline's long blocks run on
+    # device in abPOA-band mode instead of always falling back to the
+    # host pool (VERDICT r3 #1; reference max_poa_length upper bucket,
+    # src/main.cpp:376).
+    # W multiples of 1024 so dynamic DP-plane slab starts stay provably
+    # 8-row aligned under Mosaic (poa_pallas_win.OQ)
+    TIERS = ((4, 2176, 2048, 2048), (2, 4352, 2048, 2048),
+             (1, 8704, 2048, 2048), (1, 8704, 10240, 2048))
     ROUTE_MARGIN = 0.85
+    # long (banded-window) tiers ship smaller side buffers: fewer
+    # sequences and a shorter batch (long blocks are rare and huge)
+    LONG_RW = 16
+    LONG_BATCH = 8
 
     # D2H slice tiers (see _fused_fn rcap/lcap): few enough that the thin
     # XLA wrapper variants stay cheap, fine enough to cut most of the
     # padded paths-buffer transfer
     RCAPS = (16, 48)
-    LCAPS = (512, 1024, 1536, 2048)
-    VRS = (8, 16, 24, 32, 48)
+    LCAPS = (512, 1024, 1536, 2048, 4096, 6144, 8192, 10240)
+    VRS = (8, 16, 24, 32, 48, 64, 96)
 
     # host-steal calibration: per-WORKER native fill rate under load
     # (native/cpoa.cpp measures ~90 M cells/s single-thread unloaded; pool
@@ -1003,7 +1018,7 @@ class FusedPallasEngine:
         from . import poa_native
         from .poa_fused import FusedHostEngine
         self.VW, self.LW = shape
-        # tier selection: production default = the stacked family; a
+        # tier selection: production default = the windowed family; a
         # custom shape (tests, ablations) = one legacy unstacked tier
         if tiers is None:
             if tuple(shape) == self.SHAPE and not interpret:
@@ -1013,8 +1028,11 @@ class FusedPallasEngine:
             self.legacy = tuple(shape) != self.SHAPE or interpret
         else:
             self.legacy = False
-        self.tiers = tuple(tuple(t) for t in tiers)
-        for K, VW, LW in self.tiers:
+        # normalize: 3-tuples (K, VW, LW) mean full-width windows (W = LW)
+        self.tiers = tuple(
+            (t[0], t[1], t[2], t[3] if len(t) > 3 else t[2])
+            for t in tiers)
+        for K, VW, LW, W in self.tiers:
             assert max_batch % K == 0, (max_batch, K)
         self.VW = max(t[1] for t in self.tiers)
         self.LW = max(t[2] for t in self.tiers)
@@ -1063,8 +1081,10 @@ class FusedPallasEngine:
         return {
             "calls": self.calls,
             "device_blocks": self.device_blocks,
-            "tier_blocks": {f"K{K}xV{VW}": self.tier_blocks.get(ti, 0)
-                            for ti, (K, VW, LW) in enumerate(self.tiers)},
+            "tier_blocks": {
+                f"K{K}xV{VW}" + ("xW" + str(W) if W < LW else ""):
+                    self.tier_blocks.get(ti, 0)
+                for ti, (K, VW, LW, W) in enumerate(self.tiers)},
             "fallbacks": self.fallbacks,
             "guard_splits": self.guard_splits,
             "redo": self.redo,
@@ -1127,37 +1147,48 @@ class FusedPallasEngine:
         caller knows the workload (each variant is its own ~10 s axon
         compile)."""
         import jax.numpy as jnp
-        from .poa_pallas_stacked import (_compiled_stacked,
-                                         _compiled_stacked_sharded)
-        B = self.max_batch * self.n_dev
-        nseq = np.ones((B, 1, 1), np.int32)
-        par = np.tile(np.array([[[1, 4, 6, 2, 26, 1, 0, 30]]], np.int32),
-                      (B, 1, 1))
-        slen = np.zeros((B, 1, 128), np.int16)
-        slen[:, 0, 0] = 1
+        from .poa_pallas_win import _compiled_win, _compiled_win_sharded
         tis = range(len(self.tiers)) if tiers is None else tiers
         for ti in tis:
-          K, VW, LW = self.tiers[ti]
-          seqs = np.full((B, self.RW * FOLD, LW // FOLD), -1, np.int8)
+          K, VW, LW, W = self.tiers[ti]
+          RW = self._tier_rw(ti)
+          mb = self._tier_batch(ti)
+          B = mb * self.n_dev
+          nseq = np.ones((B, 1, 1), np.int32)
+          par = np.tile(np.array([[[1, 4, 6, 2, 26, 1, 0, 30]]], np.int32),
+                        (B, 1, 1))
+          slen = np.zeros((B, 1, 128), np.int16)
+          slen[:, 0, 0] = 1
+          if self.legacy:
+              seqs = np.full((B, RW * FOLD, LW // FOLD), -1, np.int8)
+          else:
+              seqs = np.full((B, RW * (LW // 128) + W // 128, 128), -1,
+                             np.int8)
           seqs[:, 0, 1] = 0
-          for local in locals_:
-            for bd in banded:
-                if K == 1 and self.legacy:
+          # banded-window tiers exist only in banded-global mode (the
+          # long-block policy converts long default-mode blocks to abPOA
+          # band semantics, pipeline/smooth.py), so warm exactly that
+          # variant regardless of the caller's flags
+          bds = (True,) if W < LW else banded
+          lcs = (False,) if W < LW else locals_
+          for local in lcs:
+            for bd in bds:
+                if self.legacy:
                     if self.n_dev > 1:
                         fn = _compiled_fused_sharded(
-                            VW, LW, self.RW, local, self.interpret,
-                            self.max_batch, self.n_dev, bd)
+                            VW, LW, RW, local, self.interpret,
+                            mb, self.n_dev, bd)
                     else:
-                        fn = _compiled_fused(VW, LW, self.RW, local,
+                        fn = _compiled_fused(VW, LW, RW, local,
                                              self.interpret, B, banded=bd)
                 elif self.n_dev > 1:
-                    fn = _compiled_stacked_sharded(
-                        K, VW, LW, self.RW, local, self.interpret,
-                        self.max_batch // K, self.n_dev, banded=bd)
+                    fn = _compiled_win_sharded(
+                        K, VW, LW, W, RW, local, self.interpret,
+                        mb // K, self.n_dev, banded=bd)
                 else:
-                    fn = _compiled_stacked(K, VW, LW, self.RW, local,
-                                           self.interpret, B // K,
-                                           banded=bd)
+                    fn = _compiled_win(K, VW, LW, W, RW, local,
+                                       self.interpret, B // K,
+                                       banded=bd)
                 meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
                                       jnp.asarray(slen), jnp.asarray(seqs))
                 np.asarray(meta)
@@ -1177,7 +1208,11 @@ class FusedPallasEngine:
         import threading
 
         if tiers is None:
-            tiers = tuple(reversed(range(len(self.tiers))))
+            # largest-capacity FULL-WIDTH tiers first (the cold-start
+            # collapse target), banded-window long tiers last (rare)
+            fw = [ti for ti, t in enumerate(self.tiers) if t[3] >= t[2]]
+            lg = [ti for ti, t in enumerate(self.tiers) if t[3] < t[2]]
+            tiers = tuple(reversed(fw)) + tuple(lg)
         t = threading.Thread(target=self.warmup,
                              args=(locals_, banded, tiers), daemon=True)
         t.start()
@@ -1194,21 +1229,26 @@ class FusedPallasEngine:
         critical path.  Steady state always returns ti."""
         if self.interpret:           # no compile cost to dodge
             return ti
-        B = self.max_batch * self.n_dev
 
         def warm(tj):
-            return ("k", local, banded, B, tj) in self._warm_keys
+            return ("k", local, banded,
+                    self._tier_batch(tj) * self.n_dev,
+                    tj) in self._warm_keys
 
         def fits_up(tj):
             return (self.tiers[tj][1] >= self.tiers[ti][1]
-                    and self.tiers[tj][2] >= self.tiers[ti][2])
+                    and self.tiers[tj][2] >= self.tiers[ti][2]
+                    and self.tiers[tj][3] >= self.tiers[ti][3])
 
         if warm(ti):
             return ti
         for tj in range(ti + 1, len(self.tiers)):
             if warm(tj) and fits_up(tj):
                 return tj
-        top = len(self.tiers) - 1
+        # cold-start collapse target: the largest FULL-WIDTH tier (the
+        # banded-window long tier cannot absorb full-width blocks)
+        top = max((tj for tj, t in enumerate(self.tiers) if t[3] >= t[2]),
+                  default=len(self.tiers) - 1)
         return top if fits_up(top) else ti
 
     @staticmethod
@@ -1245,17 +1285,21 @@ class FusedPallasEngine:
             est += len(s) * min(1.0, d * alpha)
         return est
 
-    def _route(self, seqs) -> int | None:
+    def _route(self, seqs, params=None) -> int | None:
         """Smallest tier index this block fits, or None (host fallback).
 
-        A block fits tier (K, VW, LW) when every sequence fits the DP
-        width, its seed fits the node budget, and its PREDICTED final
-        node count (sum of lengths as the cheap absolute bound, else the
-        mash growth estimate x ROUTE_MARGIN) fits VW.  A misroute is
-        never wrong — the in-kernel overflow flag redoes the block on
-        the native engine with identical semantics (DRB1-measured: the
-        margin produces zero misroutes, see class docstring)."""
-        if not seqs or len(seqs) > self.RW:
+        A block fits tier (K, VW, LW, W) when every sequence fits the
+        seq capacity LW, its seed fits the node budget, its PREDICTED
+        final node count (sum of lengths as the cheap absolute bound,
+        else the mash growth estimate x ROUTE_MARGIN) fits VW, and the
+        stored window W covers it: full width (W = LW) always does;
+        a banded-window tier (W < LW) takes only banded-params blocks
+        whose band plausibly fits (2*band_w + alignment slack <= W —
+        the per-row rank spread is unknown until fill time, so this is
+        optimistic).  A misroute is never wrong — the in-kernel
+        overflow flag redoes the block on the native engine with
+        identical semantics."""
+        if not seqs:
             return None
         maxlen = 0
         for s in seqs:
@@ -1265,12 +1309,28 @@ class FusedPallasEngine:
         # chars8 packs (code+1) in 4-bit fields -> at most 15 distinct bytes
         if len(self._alphabet(seqs)) > 15:
             return None
+        banded = params is not None and params.wb >= 0
         L0 = len(seqs[0])
         sumlen = sum(len(s) for s in seqs)
         est = None
         fits_shape = False
-        for ti, (K, VW, LW) in enumerate(self.tiers):
+        for ti, (K, VW, LW, W) in enumerate(self.tiers):
+            if len(seqs) > self._tier_rw(ti):
+                continue
             if maxlen + 1 > LW or L0 > VW:
+                continue
+            if W < LW:
+                # banded-window tier: banded params only, band must
+                # plausibly fit the stored window (+ the tier's offset
+                # quantization, mirroring poa_pallas_win.OQ)
+                if not banded:
+                    continue
+                oq = 1024 if (W // 128) % 8 == 0 and \
+                    (LW // 128) % 8 == 0 else 128
+                bw = params.wb + (params.wf_milli * maxlen) // 1000
+                if 2 * bw + oq + 1 > W:
+                    continue
+            elif maxlen + 1 > W:
                 continue
             fits_shape = True
             if sumlen <= VW:
@@ -1286,8 +1346,8 @@ class FusedPallasEngine:
             self.predicted_overflow += 1
         return None
 
-    def _eligible(self, seqs) -> bool:
-        return self._route(seqs) is not None
+    def _eligible(self, seqs, params=None) -> bool:
+        return self._route(seqs, params) is not None
 
     def poa_block_batch(self, blocks):
         results = [None] * len(blocks)
@@ -1313,7 +1373,7 @@ class FusedPallasEngine:
         dev: dict[tuple, list[int]] = {}
         fb: list[int] = []
         for i, (seqs, weights, params) in enumerate(blocks):
-            ti = self._route(seqs)
+            ti = self._route(seqs, params)
             if ti is not None:
                 ti = self._promote_tier(ti, params.local, params.wb >= 0)
                 dev.setdefault((params.local, params.wb >= 0, ti),
@@ -1339,8 +1399,9 @@ class FusedPallasEngine:
                                      len(blocks[i][0][0])), reverse=True)
             for i in idxs:
                 dev_rows += self._steal_costs(blocks[i][0], key[2])[1]
-            for s in range(0, len(idxs), cap):
-                handles.append(self._launch(blocks, idxs[s:s + cap],
+            capt = self._tier_batch(key[2]) * self.n_dev
+            for s in range(0, len(idxs), capt):
+                handles.append(self._launch(blocks, idxs[s:s + capt],
                                             key[2]))
         # watcher: time actual kernel completion (meta readiness) off the
         # main thread so the device-rate EMA isn't polluted by consumer
@@ -1401,7 +1462,7 @@ class FusedPallasEngine:
         redo_futs: list = []
         for chunk, ti, meta, exp, paths in handles:
             t0 = _time.perf_counter()
-            _, VW_t, LW_t = self.tiers[ti]
+            _, VW_t, LW_t, _W_t = self.tiers[ti]
             meta = np.asarray(meta)
             VWr = VW_t // 128
             ok = (meta[:len(chunk), 1] == 0) & (meta[:len(chunk), 0] <= VW_t)
@@ -1415,7 +1476,8 @@ class FusedPallasEngine:
             if paths.ndim == 4:      # sliced (B, rcap, lcapr, 128) planes
                 paths = paths.reshape(paths.shape[0], paths.shape[1], -1)
             else:                    # full (B, RW*LWr, 128) planes
-                paths = paths.reshape(paths.shape[0], self.RW, LW_t)
+                paths = paths.reshape(paths.shape[0], self._tier_rw(ti),
+                                      LW_t)
             self.device_s += _time.perf_counter() - t0
             # kick overflow redos onto the pool NOW so they overlap the
             # remaining handles' device wait + decode
@@ -1457,24 +1519,43 @@ class FusedPallasEngine:
             self.guard_splits += getattr(g, "guard_splits", 0)
             yield i, "graph", g
 
+    def _tier_rw(self, ti: int) -> int:
+        return self.LONG_RW if self.tiers[ti][2] > 2048 else self.RW
+
+    def _tier_batch(self, ti: int) -> int:
+        return self.LONG_BATCH if self.tiers[ti][2] > 2048 \
+            else self.max_batch
+
     def _launch(self, blocks, chunk, ti: int = 0):
         import jax.numpy as jnp
-        K, VW, LW = self.tiers[ti]
+        K, VW, LW, W = self.tiers[ti]
+        mb = self._tier_batch(ti)
         if self.n_dev > 1:
-            B = self.max_batch * self.n_dev   # shard_map needs full batches
+            B = mb * self.n_dev               # shard_map needs full batches
         else:
-            B = len(chunk) if self.interpret else self.max_batch
+            B = len(chunk) if self.interpret else mb
         B = ((B + K - 1) // K) * K            # stacked grid = B // K
-        RW = self.RW
+        RW = self._tier_rw(ti)
         nseq = np.ones((B, 1, 1), np.int32)
         par = np.zeros((B, 1, 8), np.int32)
         slen = np.zeros((B, 1, 128), np.int16)
         slen[:, 0, 0] = 1                     # pad blocks: 1 seq of len 1
-        # empty+fill, not np.full: broadcast-fill is ~25x slower for
-        # multi-MB planes on lazily-backed VM memory (docs/DESIGN.md)
-        seqs = np.empty((B, RW, LW), np.int8)
-        seqs.fill(-1)
-        seqs[:, 0, 1] = 0
+        local = blocks[chunk[0]][2].local
+        banded = blocks[chunk[0]][2].wb >= 0
+        if self.legacy:
+            # empty+fill, not np.full: broadcast-fill is ~25x slower for
+            # multi-MB planes on lazily-backed VM memory (docs/DESIGN.md)
+            seqs = np.empty((B, RW, LW), np.int8)
+            seqs.fill(-1)
+            seqs[:, 0, 1] = 0
+        else:
+            # windowed-kernel layout: char j of sequence r at flat
+            # position j+1 of 128-lane rows (ops/poa_pallas_win.py)
+            SL = LW // 128
+            FW = W // 128
+            seqs = np.empty((B, RW * SL + FW, 128), np.int8)
+            seqs.fill(-1)
+            seqs[:, 0, 1] = 0
         for b, i in enumerate(chunk):
             sq, weights, p = blocks[i]
             nseq[b, 0, 0] = len(sq)
@@ -1483,34 +1564,36 @@ class FusedPallasEngine:
             alpha = self._alphabet(sq)
             for r, s in enumerate(sq):
                 slen[b, 0, r] = len(s)
-                seqs[b, r, 1:len(s) + 1] = np.searchsorted(
-                    alpha, np.asarray(s, np.uint8))
-        seqs = seqs.reshape(B, RW * FOLD, LW // FOLD)
-        local = blocks[chunk[0]][2].local
-        banded = blocks[chunk[0]][2].wb >= 0
+                codes = np.searchsorted(alpha, np.asarray(s, np.uint8))
+                if self.legacy:
+                    seqs[b, r, 1:len(s) + 1] = codes
+                else:
+                    flat = seqs[b, r * SL:(r + 1) * SL].reshape(-1)
+                    flat[1:len(s) + 1] = codes
         key = ("k", local, banded, B, ti)
         if key not in self._warm_keys:
             self._warm_keys.add(key)
             self._fresh_compile = True
-        if K == 1 and self.legacy:
+        if self.legacy:
+            seqs = seqs.reshape(B, RW * FOLD, LW // FOLD)
             if self.n_dev > 1:
                 fn = _compiled_fused_sharded(
-                    VW, LW, RW, local, self.interpret, self.max_batch,
+                    VW, LW, RW, local, self.interpret, mb,
                     self.n_dev, banded)
             else:
                 fn = _compiled_fused(VW, LW, RW, local, self.interpret, B,
                                      banded=banded)
         else:
-            from .poa_pallas_stacked import (_compiled_stacked,
-                                             _compiled_stacked_sharded)
+            from .poa_pallas_win import (_compiled_win,
+                                         _compiled_win_sharded)
             if self.n_dev > 1:
-                fn = _compiled_stacked_sharded(
-                    K, VW, LW, RW, local, self.interpret,
-                    self.max_batch // K, self.n_dev, banded=banded)
+                fn = _compiled_win_sharded(
+                    K, VW, LW, W, RW, local, self.interpret,
+                    mb // K, self.n_dev, banded=banded)
             else:
-                fn = _compiled_stacked(K, VW, LW, RW, local,
-                                       self.interpret, B // K,
-                                       banded=banded)
+                fn = _compiled_win(K, VW, LW, W, RW, local,
+                                   self.interpret, B // K,
+                                   banded=banded)
         meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
                               jnp.asarray(slen), jnp.asarray(seqs))
         # slice the paths D2H to the chunk's tier while still on device

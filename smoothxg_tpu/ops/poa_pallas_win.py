@@ -80,6 +80,13 @@ def _win_core(K: int, VW: int, LW: int, W: int, RW: int, local: bool,
     FW = W // 128              # stored sublane rows per DP row
     SL = LW // 128             # seq-plane rows per sequence
     KF = K * FW
+    # window offsets quantize to OQ lanes: Mosaic requires dynamic
+    # multi-sublane slab starts to be provably 8-row aligned, so
+    # production tiers (FW, SL multiples of 8) anchor windows at
+    # 1024-lane boundaries; small interpret-mode test shapes keep the
+    # 128-lane quantum (no Mosaic involved)
+    ALIGNED8 = FW % 8 == 0 and SL % 8 == 0
+    OQ = 1024 if ALIGNED8 else 128
     OFF = 16384
     TB_CAP = 2 * (VW + LW + 8) + LW
     NB = VW + 1
@@ -187,17 +194,23 @@ def _win_core(K: int, VW: int, LW: int, W: int, RW: int, local: bool,
         qP = per_block_plane([pars[k][4] for k in range(K)])
         cP = per_block_plane([pars[k][5] for k in range(K)])
 
-        iot8 = jax.lax.broadcasted_iota(DT, (2, 128), 0) * 128 + \
-            jax.lax.broadcasted_iota(DT, (2, 128), 1)
+        CROWS = 16 if ALIGNED8 else 2
+        iotc = jax.lax.broadcasted_iota(DT, (CROWS, 128), 0) * 128 + \
+            jax.lax.broadcasted_iota(DT, (CROWS, 128), 1)
 
         def chars8(k, r_, jbase):
             """Chars of positions jbase..jbase+7 of block k's sequence r_,
             packed 4 bits each as (char+1).  The seq plane stores char j
-            at flat position j+1 (128-lane rows); eight consecutive
-            positions span at most two rows."""
+            at flat position j+1 (128-lane rows); the slab start is
+            8-row-aligned for Mosaic (production shapes), covering the at
+            most two rows the eight positions span."""
             row0 = (jbase + 1) // 128
-            slab = seqs_r[k, pl.ds(r_ * SL + row0, 2), :]
-            kk = (row0 * 128 + iot8) - (jbase + 1)
+            if ALIGNED8:
+                r8 = (row0 // 8) * 8
+            else:
+                r8 = row0
+            slab = seqs_r[k, pl.ds(r_ * SL + r8, CROWS), :]
+            kk = (r8 * 128 + iotc) - (jbase + 1)
             win = (kk >= 0) & (kk < 8)
             kc = jnp.where(win, kk, 0)
             w = jnp.where((kc & 1) > 0, 16, 1)
@@ -349,7 +362,7 @@ def _win_core(K: int, VW: int, LW: int, W: int, RW: int, local: bool,
                             0, mrA[kb + v] - bws[k] - adls[k])
                         bhi_k = jnp.minimum(
                             Ls[k], MrA[kb + v] + bws[k] + adrs[k])
-                        off_k = (blo_k // 128) * 128
+                        off_k = (blo_k // OQ) * OQ
                         ovfb[k] = ovfb[k] | (act &
                                              ((bhi_k - off_k) >= W))
                         offA[ia] = off_k

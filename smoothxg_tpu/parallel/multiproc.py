@@ -65,12 +65,78 @@ def shard_bounds(n_blocks: int, rank: int, size: int) -> tuple[int, int]:
     return lo, hi
 
 
+def pack_results(results) -> bytes:
+    """Serialize BlockResults as COMPACT, COMPRESSED ARRAYS (SURVEY
+    §5.8: all-gather "compact per-block results — node seqs, edges,
+    per-path step runs").  Each finalized block graph exports its flat
+    arrays (graph/mutable.to_arrays) downsized to int32, MAF rows become
+    plain tuples (no per-dataclass pickle overhead), and the whole
+    payload is deflate-compressed — the python dict-adjacency
+    representation never crosses the wire.  Graphs with non-dense ids
+    (python-fallback finalize paths) degrade to object pickling per
+    block."""
+    import zlib
+
+    metas = []
+    bufs: list = []
+    for r in results:
+        g = r.get_graph()
+        names = None
+        mode = 0                       # 0 = no graph
+        if g is not None:
+            try:
+                arrs = g.to_arrays()
+                bufs.append(tuple(
+                    a if a.dtype == np.uint8 else a.astype(np.int32)
+                    for a in arrs))
+                names = g.path_names
+                mode = 1               # 1 = flat arrays
+            except AssertionError:     # pragma: no cover - non-dense ids
+                bufs.append(g)
+                mode = 2               # 2 = pickled object
+        maf = None
+        if r.maf is not None:
+            maf = {k: [(x.src, x.start, x.size, x.is_rev, x.src_len,
+                        x.text) for x in rows]
+                   for k, rows in r.maf.items()}
+        metas.append((r.block_id, r.consensus_name, r.path_mappings,
+                      maf, r.groom_flip, r.stats, names, mode))
+    return zlib.compress(
+        pickle.dumps({"v": 1, "meta": metas, "bufs": bufs}, protocol=4), 1)
+
+
+def unpack_results(raw: bytes) -> list:
+    import zlib
+
+    from ..graph.mutable import MutableGraph
+    from ..pipeline.smooth import BlockResult, MafRow
+
+    p = pickle.loads(zlib.decompress(raw))
+    out: list = []
+    bi = 0
+    for (bid, cname, pmaps, maf, gflip, stats, names, mode) in p["meta"]:
+        g = None
+        if mode == 1:
+            g = MutableGraph.from_arrays(*p["bufs"][bi], names)
+            bi += 1
+        elif mode == 2:                 # pragma: no cover - non-dense ids
+            g = p["bufs"][bi]
+            bi += 1
+        if maf is not None:
+            maf = {k: [MafRow(*t) for t in rows]
+                   for k, rows in maf.items()}
+        out.append(BlockResult(bid, g, pmaps, cname, maf,
+                               groom_flip=gflip, stats=stats))
+    return out
+
+
 def distributed_smooth_blocks(idx, blockset, *, rank: int, size: int,
                               **smooth_kwargs):
     """Shard the blockset, smooth locally, all-gather BlockResults.
 
     Returns the FULL result list in global block-id order on every rank
     (so lace/merge replicate instead of broadcasting a graph)."""
+    from ..utils.progress import Log
     from ..pipeline.blocks import Blockset
     from ..pipeline.smooth import smooth_blocks
 
@@ -80,16 +146,16 @@ def distributed_smooth_blocks(idx, blockset, *, rank: int, size: int,
     for b in blocks[lo:hi]:
         shard.add_block(b)
     local = smooth_blocks(idx, shard, block_id_offset=lo, **smooth_kwargs)
-    # compact per-block payloads: block graph (nodes/edges), per-path step
-    # runs, consensus + MAF rows — everything lace/merge consume
-    for r in local:
-        if getattr(r, "cache", None) is not None:   # pragma: no cover
-            r.graph = r.get_graph()
-            r.cache = None
-    parts = allgather_bytes(pickle.dumps(local, protocol=4))
+    payload = pack_results(local)
+    if local:
+        Log.info("multiproc",
+                 f"rank {rank}: all-gather payload "
+                 f"{len(payload)} B for {len(local)} blocks "
+                 f"({len(payload) // max(len(local), 1)} B/block)")
+    parts = allgather_bytes(payload)
     results: list = []
     for part in parts:
-        results.extend(pickle.loads(part))
+        results.extend(unpack_results(part))
     results.sort(key=lambda r: r.block_id)
     assert len(results) == len(blocks), (len(results), len(blocks))
     return results

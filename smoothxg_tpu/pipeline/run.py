@@ -58,6 +58,11 @@ class Config:
     max_block_depth_for_padding_more: int = 1000
     use_abpoa: bool = False
     local_alignment: bool = True
+    # long-block policy: blocks whose longest padded sequence exceeds this
+    # align with abPOA semantics (global + adaptive band wb=311/wf=0.03)
+    # instead of full-width spoa — deterministic per block, identical
+    # across engines; 0 disables (reference-default full width)
+    long_poa_band: int = 4096
     # consensus / maf
     consensus_path_prefix: str = "Consensus_"
     add_consensus: bool = False
@@ -281,6 +286,7 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                 engine=engine,
                 abpoa_mode=cfg.use_abpoa,
                 collect_stats=bool(cfg.block_stats) and last,
+                long_poa_band=cfg.long_poa_band,
                 write_poa_blocks_ms=cfg.write_poa_blocks_ms,
                 fasta_dir=tmpdir,
                 graph_cache=graph_cache,

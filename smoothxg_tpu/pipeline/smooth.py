@@ -209,6 +209,7 @@ def smooth_blocks(
     threads: int = 1,
     seqindex=None,
     block_id_offset: int = 0,
+    long_poa_band: int = 4096,
 ) -> list[BlockResult]:
     """Smooth every block; returns BlockResults in block-id order.
 
@@ -235,6 +236,19 @@ def smooth_blocks(
         if adaptive_poa_params:
             p = _adaptive_params(idx, block.path_ranges, params, kmer_size,
                                  max_block_depth_for_padding_more)
+        if long_poa_band and p.wb < 0 and block.path_ranges and \
+                max(pr.length for pr in block.path_ranges) + 2 * pad \
+                > long_poa_band:
+            # long-block policy: blocks past the full-width sweet spot
+            # align with abPOA semantics — global + adaptive band (the
+            # reference's own recommended configuration for long POA
+            # problems, -A; src/smooth.cpp:258-290) — instead of
+            # full-width spoa.  Deterministic per block shape, applied
+            # identically by every engine, so native and device runs stay
+            # byte-identical; disable with --long-poa-band 0 for
+            # reference-default full-width semantics at any length.
+            p = POAParams(p.m, p.n, p.g, p.e, p.q, p.c, local=False,
+                          wb=311, wf_milli=30)
         prepped.append((bid, block, pad, p))
 
     if (threads > 1 and len(prepped) >= 2 * threads

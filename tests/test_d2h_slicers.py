@@ -16,7 +16,7 @@ def test_paths_slicer_matches_numpy():
     rng = np.random.default_rng(0)
     paths = rng.integers(-4, 4, size=(3, RW * LWr, 128), dtype=np.int16)
     for rcap in FusedPallasEngine.RCAPS:
-        for lcapr in [t // 128 for t in FusedPallasEngine.LCAPS]:
+        for lcapr in [min(t // 128, LWr) for t in FusedPallasEngine.LCAPS]:
             out = np.asarray(_paths_slicer(RW, LWr, rcap, lcapr)(paths))
             ref = paths.reshape(3, RW, LWr, 128)[:, :rcap, :lcapr, :]
             assert out.shape == (3, rcap, lcapr, 128)

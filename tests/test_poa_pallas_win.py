@@ -199,3 +199,60 @@ def test_win_adaptive_param_tiers():
         assert exp[b, 2, :V].tolist() == f.topo_order()
         for r, s in enumerate(sq):
             assert paths[b, r, :len(s)].tolist() == f.paths[r]
+
+
+# ---------------- engine integration (windowed tier family) ----------------
+
+def test_engine_windowed_tiers_route_and_match():
+    """FusedPallasEngine with explicit 4-tuple tiers dispatches the
+    windowed kernel: full-width K2 tier for short blocks, banded-window
+    tier for long banded blocks, native fallback otherwise."""
+    from smoothxg_tpu.ops.poa_pallas_fused import FusedPallasEngine
+    eng = FusedPallasEngine(
+        tiers=((2, 512, 256, 256), (1, 1024, 768, 384)),
+        max_seqs=16, max_batch=4, interpret=True)
+    rng = np.random.default_rng(31)
+    p_short = POAParams(1, 4, 6, 2, 26, 1, local=True)
+    p_long = POAParams(1, 4, 6, 2, 26, 1, local=False, wb=40, wf_milli=30)
+    short = [family(rng, 80, 4), family(rng, 60, 3)]
+    longb = [family(rng, 500, 4)]
+    blocks = [(sq, [1] * len(sq), p_short) for sq in short] + \
+             [(sq, [1] * len(sq), p_long) for sq in longb]
+    # routing: short -> tier 0 (full width); long banded -> tier 1
+    assert eng._route(short[0], p_short) == 0
+    assert eng._route(longb[0], p_long) == 1
+    assert eng._route(longb[0], p_short) is None  # unbanded long: no tier
+    graphs = eng.poa_block_batch(blocks)
+    for (sq, w, p), g in zip(blocks, graphs):
+        f = oracle(sq, p)
+        assert g.base == f.base
+        assert g.seq_paths == f.paths
+        assert g._topo == f.topo_order()
+    assert eng.tier_blocks.get(0, 0) == 2
+    assert eng.tier_blocks.get(1, 0) == 1
+
+
+def test_long_block_band_policy_converts_params(drb1_path, tmp_path):
+    """The pipeline's long-block policy (Config.long_poa_band) converts
+    blocks whose longest padded sequence exceeds the threshold to abPOA
+    band semantics; the native run still passes the byte-exact lace
+    oracle and the -B stats see banded long blocks."""
+    import pytest as _pytest
+    from smoothxg_tpu.ops import poa_native
+    if not poa_native.available():      # pragma: no cover
+        _pytest.skip("native engine unavailable")
+    from smoothxg_tpu.pipeline.run import Config, run_smoothing
+    out = str(tmp_path / "l4000.gfa")
+    stats = str(tmp_path / "stats.tsv")
+    run_smoothing(Config(
+        gfa_in=drb1_path, smoothed_out=out, n_haps=12,
+        max_path_jump=5000, max_edge_jump=5000,
+        poa_length_targets=[4000], engine="native",
+        block_stats=stats, tmp_base=str(tmp_path)))
+    # exit implies lace validation passed; all 4 long blocks align banded
+    import csv
+    with open(stats) as f:
+        rows = list(csv.DictReader(f, delimiter="\t"))
+    assert len(rows) >= 3
+    long_rows = [r for r in rows if int(r["max.seq.len"]) > 4096]
+    assert long_rows, "no long blocks in the -l 4000 run?"
