@@ -14,11 +14,13 @@
 // Build: g++ -O3 -shared -fPIC -o libgraphcore.so graphcore.cpp
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <vector>
 #include <string>
 #include <queue>
 #include <algorithm>
 #include <unordered_set>
+#include <unordered_map>
 
 using std::vector;
 
@@ -328,5 +330,240 @@ void gc_copy(void* r, uint8_t* seq_buf, int64_t* node_off, int64_t* edges,
 }
 
 void gc_free(void* r) { delete (Result*)r; }
+
+// ---------------------------------------------------------------------------
+// Block-finder sweep (reference: smoothable_blocks, src/blocks.cpp:240-315,
+// finalize_block :106-230, toposplit_block :43-105).  Exact port of the
+// python sweep in pipeline/blocks.py — the remaining O(steps) interpreter-
+// bound prep stage at pod scale.  Semantics are identical (same traversal
+// sort, path-jump / seen-run splits, longest-first stable order, first-seen
+// component order), asserted block-for-block by tests/test_blocks_native.py.
+//
+// path_pos is the per-path position array with steps(p)+1 entries per path:
+//   pos(p, r) = path_pos[path_off[p] + p + r]
+// ---------------------------------------------------------------------------
+
+struct BFRange { int64_t pid, begin, end, length; };
+
+struct BFResult {
+    vector<int64_t> block_off;     // n_blocks+1 prefix into ranges
+    vector<BFRange> ranges;
+};
+
+struct BFUf {
+    // union-find over node ids, local to one block
+    std::unordered_map<int64_t, int64_t> parent;
+    int64_t find(int64_t x) {
+        while (parent[x] != x) { parent[x] = parent[parent[x]]; x = parent[x]; }
+        return x;
+    }
+    void add(int64_t x) { if (!parent.count(x)) parent[x] = x; }
+    void unite(int64_t a, int64_t b) {
+        add(a); add(b);
+        int64_t ra = find(a), rb = find(b);
+        if (ra != rb) parent[rb] = ra;
+    }
+};
+
+void* bf_sweep(int64_t n_nodes, int64_t n_paths,
+               const int64_t* node_len,
+               const int64_t* node_steps_start,   // [n_nodes+1]
+               const int64_t* step_path,
+               const int64_t* step_rank,
+               const int64_t* path_off,           // [n_paths+1]
+               const int64_t* path_pos,           // see header comment
+               const int64_t* path_steps,         // handles, [path_off[P]]
+               const int64_t* ejump,              // [n_nodes+1]
+               int64_t max_block_weight,
+               int64_t max_block_path_length,
+               int64_t max_path_jump,
+               int64_t max_edge_jump,
+               int32_t order_longest) {
+    auto* res = new BFResult();
+    // seen flags, flat over the step ranks of each path
+    vector<uint8_t> seen((size_t)path_off[n_paths], 0);
+    auto seen_at = [&](int64_t p, int64_t r) -> uint8_t& {
+        return seen[(size_t)(path_off[p] + r)];
+    };
+    auto pos_of = [&](int64_t p, int64_t r) -> int64_t {
+        return path_pos[path_off[p] + p + r];
+    };
+    auto step_of = [&](int64_t p, int64_t r) -> int64_t {
+        return path_steps[path_off[p] + r];
+    };
+
+    vector<int64_t> block_handles;
+    int64_t total_path_length = 0;
+    // dense coverage accumulators + active list (python: path_coverage dict)
+    vector<int64_t> cov_bp(n_paths, 0), cov_n(n_paths, 0);
+    vector<int64_t> cov_active;
+
+    vector<std::pair<int64_t, int64_t>> traversals;
+    vector<BFRange> block_ranges;
+
+    auto finalize_block = [&]() {
+        traversals.clear();
+        for (int64_t nid : block_handles) {
+            for (int64_t i = node_steps_start[nid - 1];
+                 i < node_steps_start[nid]; ++i) {
+                if (!seen_at(step_path[i], step_rank[i]))
+                    traversals.emplace_back(step_path[i], step_rank[i]);
+            }
+        }
+        block_handles.clear();
+        std::sort(traversals.begin(), traversals.end());
+
+        // pass 1: split on path change / positional jump
+        struct R1 { int64_t pid, begin, last; };
+        vector<R1> r1;
+        for (auto& t : traversals) {
+            int64_t pid = t.first, rank = t.second;
+            if (!r1.empty() && r1.back().pid == pid) {
+                int64_t llast = r1.back().last;
+                int64_t gap = pos_of(pid, rank) -
+                    (pos_of(pid, llast) +
+                     node_len[(step_of(pid, llast) >> 1) - 1]);
+                if (gap <= max_path_jump) { r1.back().last = rank; continue; }
+            }
+            r1.push_back({pid, rank, rank});
+        }
+
+        // pass 2: split each range on already-seen steps
+        block_ranges.clear();
+        for (auto& rr : r1) {
+            int64_t end_excl = rr.last + 1;
+            const uint8_t* s = &seen[(size_t)path_off[rr.pid]];
+            int64_t r = rr.begin;
+            while (r < end_excl) {
+                const void* f0 = memchr(s + r, 0, (size_t)(end_excl - r));
+                if (!f0) break;
+                int64_t cb = (const uint8_t*)f0 - s;
+                const void* f1 = memchr(s + cb + 1, 1,
+                                        (size_t)(end_excl - cb - 1));
+                int64_t ce = f1 ? ((const uint8_t*)f1 - s) : end_excl;
+                block_ranges.push_back({rr.pid, cb, ce, 0});
+                r = ce + 1;
+            }
+        }
+
+        // mark kept steps, compute lengths
+        int64_t total = 0;
+        for (auto& pr : block_ranges) {
+            memset(&seen[(size_t)(path_off[pr.pid] + pr.begin)], 1,
+                   (size_t)(pr.end - pr.begin));
+            pr.length = pos_of(pr.pid, pr.end) - pos_of(pr.pid, pr.begin);
+            total += pr.length;
+        }
+        if (total <= 0) return;
+        std::stable_sort(block_ranges.begin(), block_ranges.end(),
+                         [order_longest](const BFRange& a, const BFRange& b) {
+                             return order_longest ? a.length > b.length
+                                                  : a.length < b.length;
+                         });
+
+        // toposplit: weakly-connected components over consecutive node
+        // pairs of each range (first-seen component order over ranges)
+        BFUf uf;
+        for (auto& pr : block_ranges) {
+            int64_t prev = -1;
+            for (int64_t r = pr.begin; r < pr.end; ++r) {
+                int64_t nid = step_of(pr.pid, r) >> 1;
+                if (prev >= 0 && prev != nid) uf.unite(prev, nid);
+                else uf.add(nid);
+                prev = nid;
+            }
+        }
+        std::unordered_map<int64_t, int64_t> comp_index;
+        vector<vector<BFRange>> comps;
+        for (auto& pr : block_ranges) {
+            int64_t nid = step_of(pr.pid, pr.begin) >> 1;
+            uf.add(nid);
+            int64_t root = uf.find(nid);
+            auto it = comp_index.find(root);
+            int64_t ci;
+            if (it == comp_index.end()) {
+                ci = (int64_t)comps.size();
+                comp_index.emplace(root, ci);
+                comps.emplace_back();
+            } else ci = it->second;
+            comps[(size_t)ci].push_back(pr);
+        }
+        for (auto& comp : comps) {
+            for (auto& pr : comp) res->ranges.push_back(pr);
+            res->block_off.push_back((int64_t)res->ranges.size());
+        }
+    };
+
+    vector<int64_t> unseen_here;
+    for (int64_t nid = 1; nid <= n_nodes; ++nid) {
+        int64_t handle_length = node_len[nid - 1];
+        int64_t sequence_to_add = 0;
+        int64_t us0 = node_steps_start[nid - 1], us1 = node_steps_start[nid];
+        // the unseen list is captured BEFORE a possible finalize (which
+        // can mark some of this node's steps seen through merged spans);
+        // the coverage update below uses this pre-finalize snapshot,
+        // matching pipeline/blocks.py exactly
+        unseen_here.clear();
+        for (int64_t i = us0; i < us1; ++i)
+            if (!seen_at(step_path[i], step_rank[i])) {
+                sequence_to_add += handle_length;
+                unseen_here.push_back(step_path[i]);
+            }
+
+        int64_t max_path_length = 0;
+        int64_t nbh = (int64_t)block_handles.size();
+        for (int64_t pid : cov_active) {
+            double bp = (double)cov_bp[pid];
+            int64_t nsteps = cov_n[pid];
+            double denom = (nsteps < nbh || nbh == 0)
+                ? 1.0 : (double)nsteps / (double)nbh;
+            // python: int(bp / denom + 0.5) — round half up for positives
+            int64_t est = (int64_t)(bp / denom + 0.5) + handle_length;
+            if (est > max_path_length) max_path_length = est;
+        }
+
+        if (!block_handles.empty() &&
+            (total_path_length + sequence_to_add > max_block_weight ||
+             (max_edge_jump && ejump[nid] > max_edge_jump) ||
+             max_path_length > max_block_path_length)) {
+            finalize_block();
+            total_path_length = 0;
+            for (int64_t pid : cov_active) { cov_bp[pid] = 0; cov_n[pid] = 0; }
+            cov_active.clear();
+        }
+
+        total_path_length += sequence_to_add;
+        for (int64_t pid : unseen_here) {
+            if (cov_n[pid] == 0 && cov_bp[pid] == 0)
+                cov_active.push_back(pid);
+            cov_bp[pid] += handle_length;
+            cov_n[pid] += 1;
+        }
+        block_handles.push_back(nid);
+    }
+    if (!block_handles.empty()) finalize_block();
+    return res;
+}
+
+int64_t bf_n_blocks(void* r) {
+    return (int64_t)((BFResult*)r)->block_off.size();
+}
+int64_t bf_n_ranges(void* r) {
+    return (int64_t)((BFResult*)r)->ranges.size();
+}
+void bf_copy(void* r, int64_t* block_off, int64_t* pid, int64_t* begin,
+             int64_t* end, int64_t* length) {
+    auto* b = (BFResult*)r;
+    block_off[0] = 0;
+    for (size_t i = 0; i < b->block_off.size(); ++i)
+        block_off[i + 1] = b->block_off[i];
+    for (size_t i = 0; i < b->ranges.size(); ++i) {
+        pid[i] = b->ranges[i].pid;
+        begin[i] = b->ranges[i].begin;
+        end[i] = b->ranges[i].end;
+        length[i] = b->ranges[i].length;
+    }
+}
+void bf_free(void* r) { delete (BFResult*)r; }
 
 } // extern "C"

@@ -56,8 +56,55 @@ def load() -> ctypes.CDLL | None:
     lib.gc_copy.argtypes = [ctypes.c_void_p, pu8, p64, p64, p64, p64, i64]
     lib.gc_free.restype = None
     lib.gc_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "bf_sweep"):
+        lib.bf_sweep.restype = ctypes.c_void_p
+        lib.bf_sweep.argtypes = [i64, i64, p64, p64, p64, p64, p64, p64,
+                                 p64, p64, i64, i64, i64, i64,
+                                 ctypes.c_int32]
+        for f in ("bf_n_blocks", "bf_n_ranges"):
+            getattr(lib, f).restype = i64
+            getattr(lib, f).argtypes = [ctypes.c_void_p]
+        lib.bf_copy.restype = None
+        lib.bf_copy.argtypes = [ctypes.c_void_p, p64, p64, p64, p64, p64]
+        lib.bf_free.restype = None
+        lib.bf_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
+
+
+def bf_sweep(n_nodes: int, n_paths: int, node_len, node_steps_start,
+             step_path, step_rank, path_off, path_pos_flat,
+             path_steps_flat, ejump, max_block_weight,
+             max_block_path_length, max_path_jump, max_edge_jump,
+             order_longest: bool):
+    """Native block-finder sweep (graphcore.cpp bf_sweep — the exact
+    semantics of pipeline/blocks.smoothable_blocks).  Returns
+    (block_off, pid, begin, end, length) arrays or None when the library
+    lacks the entry point."""
+    lib = load()
+    if lib is None or not hasattr(lib, "bf_sweep"):
+        return None
+    a = np.ascontiguousarray
+    r = lib.bf_sweep(
+        n_nodes, n_paths, a(node_len, dtype=np.int64),
+        a(node_steps_start, dtype=np.int64), a(step_path, dtype=np.int64),
+        a(step_rank, dtype=np.int64), a(path_off, dtype=np.int64),
+        a(path_pos_flat, dtype=np.int64), a(path_steps_flat, dtype=np.int64),
+        a(ejump, dtype=np.int64), int(max_block_weight),
+        int(max_block_path_length), int(max_path_jump),
+        int(max_edge_jump), int(order_longest))
+    try:
+        nb = lib.bf_n_blocks(r)
+        nr = lib.bf_n_ranges(r)
+        block_off = np.zeros(nb + 1, dtype=np.int64)
+        pid = np.zeros(max(nr, 1), dtype=np.int64)
+        begin = np.zeros(max(nr, 1), dtype=np.int64)
+        end = np.zeros(max(nr, 1), dtype=np.int64)
+        length = np.zeros(max(nr, 1), dtype=np.int64)
+        lib.bf_copy(r, block_off, pid, begin, end, length)
+        return block_off, pid[:nr], begin[:nr], end[:nr], length[:nr]
+    finally:
+        lib.bf_free(r)
 
 
 def unchop_arrays(seq_buf: np.ndarray, node_off: np.ndarray,

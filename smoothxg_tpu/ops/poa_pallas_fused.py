@@ -982,10 +982,13 @@ class FusedPallasEngine:
     # device in abPOA-band mode instead of always falling back to the
     # host pool (VERDICT r3 #1; reference max_poa_length upper bucket,
     # src/main.cpp:376).
-    # W multiples of 1024 so dynamic DP-plane slab starts stay provably
-    # 8-row aligned under Mosaic (poa_pallas_win.OQ)
+    # The long tier's window must cover the band PLUS the per-row rank
+    # spread (Mr - mr), which on length-heterogeneous long blocks runs
+    # ~1.3-1.7x the sequence-length spread (measured on the DRB1 -l 4000
+    # blocks: len spreads 559-3516 -> rank spreads 945-5198) — hence
+    # W = 3072 with a spread-aware router (see _route)
     TIERS = ((4, 2176, 2048, 2048), (2, 4352, 2048, 2048),
-             (1, 8704, 2048, 2048), (1, 8704, 10240, 2048))
+             (1, 8704, 2048, 2048), (1, 5888, 10240, 3072))
     ROUTE_MARGIN = 0.85
     # long (banded-window) tiers ship smaller side buffers: fewer
     # sequences and a shorter batch (long blocks are rare and huge)
@@ -1311,6 +1314,7 @@ class FusedPallasEngine:
             return None
         banded = params is not None and params.wb >= 0
         L0 = len(seqs[0])
+        minlen = min(len(s) for s in seqs)
         sumlen = sum(len(s) for s in seqs)
         est = None
         fits_shape = False
@@ -1320,16 +1324,23 @@ class FusedPallasEngine:
             if maxlen + 1 > LW or L0 > VW:
                 continue
             if W < LW:
-                # banded-window tier: banded params only, band must
-                # plausibly fit the stored window (+ the tier's offset
-                # quantization, mirroring poa_pallas_win.OQ)
+                # banded-window tier: banded params only.  The window
+                # must hold band + per-row rank spread; the LOWER bound
+                # of the spread is the sequence-length spread (measured
+                # rank spreads run 1.3-1.7x it), and V >= maxlen always.
+                # The mash growth estimate is SKIPPED here: it is ~2x
+                # conservative and would reject every real long block,
+                # while a banded-tier misroute costs only ~a round of
+                # fill before the in-kernel overflow bail redoes the
+                # block natively (round-granular skip).
                 if not banded:
                     continue
-                oq = 1024 if (W // 128) % 8 == 0 and \
-                    (LW // 128) % 8 == 0 else 128
                 bw = params.wb + (params.wf_milli * maxlen) // 1000
-                if 2 * bw + oq + 1 > W:
+                if 2 * bw + (maxlen - minlen) + 129 > W:
                     continue
+                if maxlen > VW:
+                    continue
+                return ti
             elif maxlen + 1 > W:
                 continue
             fits_shape = True

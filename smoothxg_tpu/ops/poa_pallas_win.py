@@ -80,13 +80,13 @@ def _win_core(K: int, VW: int, LW: int, W: int, RW: int, local: bool,
     FW = W // 128              # stored sublane rows per DP row
     SL = LW // 128             # seq-plane rows per sequence
     KF = K * FW
-    # window offsets quantize to OQ lanes: Mosaic requires dynamic
-    # multi-sublane slab starts to be provably 8-row aligned, so
-    # production tiers (FW, SL multiples of 8) anchor windows at
-    # 1024-lane boundaries; small interpret-mode test shapes keep the
-    # 128-lane quantum (no Mosaic involved)
+    # Window offsets quantize to 128 lanes (one sublane row).  DP-plane
+    # slab reads are 8-row aligned by construction (starts are FW * u
+    # with FW a multiple of 8 on production tiers); the one read whose
+    # start depends on the raw offset — the seq-plane window — reads
+    # from an 8-aligned row and realigns with a dynamic sublane roll.
     ALIGNED8 = FW % 8 == 0 and SL % 8 == 0
-    OQ = 1024 if ALIGNED8 else 128
+    OQ = 128
     OFF = 16384
     TB_CAP = 2 * (VW + LW + 8) + LW
     NB = VW + 1
@@ -430,12 +430,23 @@ def _win_core(K: int, VW: int, LW: int, W: int, RW: int, local: bool,
                     0, npm, ploop,
                     (NEGROW, NEGROW, NEGROW, ZROW, ZROW, ZROW))
 
-                # seq chars at the window's global columns (char j sits at
-                # seq-plane flat position j+1 == global column index)
+                # seq chars at the window's global columns (char j sits
+                # at seq-plane flat position j+1 == global column index).
+                # The row start r*SL + off/128 is not 8-aligned in
+                # general; read from the aligned floor and realign with a
+                # dynamic sublane roll (Mosaic-friendly)
                 svs = []
                 for k in range(K):
-                    svs.append(seqs_r[
-                        k, pl.ds(r * SL + offs[k] // 128, FW), :])
+                    strow = r * SL + offs[k] // 128
+                    if ALIGNED8:
+                        a8 = (strow // 8) * 8
+                        d8 = strow - a8
+                        slab = seqs_r[k, pl.ds(a8, FW + 8), :]
+                        sh = jnp.where(d8 > 0, (FW + 8) - d8, 0)
+                        rolled = pltpu.roll(slab, sh, axis=0)
+                        svs.append(rolled[0:FW, :])
+                    else:
+                        svs.append(seqs_r[k, pl.ds(strow, FW), :])
                 seqv32 = jnp.concatenate(svs, axis=0)
                 basep = ((bb >> (4 * blkidx)) & 15) - 1
                 sub = jnp.where(seqv32 == basep, mP, -nP)

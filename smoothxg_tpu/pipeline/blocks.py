@@ -106,6 +106,7 @@ def smoothable_blocks(
     max_path_jump: int,
     max_edge_jump: int,
     order_paths_from_longest: bool = True,
+    use_native: bool = True,
 ) -> Blockset:
     blockset = Blockset()
     n_paths = idx.path_count()
@@ -151,6 +152,38 @@ def smoothable_blocks(
             base = node_off[src - 1] + (node_len[src - 1] if off_add_src
                                         else 0)
             np.maximum.at(ejump, src, np.abs(ooff - base))
+
+    if use_native:
+        # native sweep (graphcore.cpp bf_sweep): the exact semantics of
+        # the python loop below in C++ — the remaining O(steps)
+        # interpreter-bound prep stage at pod scale (tests pin the
+        # partition block-for-block against the python sweep)
+        from ..native_bindings import bf_sweep
+        path_off = np.zeros(n_paths + 1, dtype=np.int64)
+        for p in range(n_paths):
+            path_off[p + 1] = path_off[p] + idx.step_count(p)
+        out = bf_sweep(
+            idx.n_nodes, n_paths, node_len, node_steps_start,
+            step_path, step_rank, path_off,
+            np.concatenate([idx.path_pos[p] for p in range(n_paths)])
+            if n_paths else np.zeros(0, np.int64),
+            np.concatenate([idx.path_steps[p] for p in range(n_paths)])
+            if n_paths else np.zeros(0, np.int64),
+            ejump, max_block_weight, max_block_path_length,
+            max_path_jump, max_edge_jump, order_paths_from_longest)
+        if out is not None:
+            block_off, pid, begin, end, length = out
+            pid, begin = pid.tolist(), begin.tolist()
+            end, length = end.tolist(), length.tolist()
+            for b in range(len(block_off) - 1):
+                blk = Block()
+                for i in range(block_off[b], block_off[b + 1]):
+                    blk.path_ranges.append(
+                        PathRange(pid[i], begin[i], end[i], length[i]))
+                blockset.add_block(blk)
+            Log.info("smoothable_blocks",
+                     f"found {len(blockset)} blocks")
+            return blockset
 
     block_handles: list[int] = []        # node ids
     total_path_length = 0

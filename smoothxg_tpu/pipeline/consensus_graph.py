@@ -395,6 +395,11 @@ def create_consensus_graph(
             if link.end - 1 > link.begin:
                 _try_edge(link.end - 1, link.end)
 
+    # compact first: node deletions above leave non-dense ids, which
+    # would force the first unchop onto the python fallback (the native
+    # graphcore path needs dense 1..N ids); ids are renumbered by the
+    # final unchop_toposort anyway
+    cg = cg.compact()
     cg = cg.unchop()
     # drop 0-depth nodes, then unchop again (reference: :1010-1018)
     depth: dict[int, int] = {}

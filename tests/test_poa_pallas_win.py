@@ -256,3 +256,15 @@ def test_long_block_band_policy_converts_params(drb1_path, tmp_path):
     assert len(rows) >= 3
     long_rows = [r for r in rows if int(r["max.seq.len"]) > 4096]
     assert long_rows, "no long blocks in the -l 4000 run?"
+
+
+@pytest.mark.slow
+def test_win_banded_aligned8_seq_roll_path():
+    """Production-shaped tier (SL, FW multiples of 8): the seq-plane
+    window read goes through the aligned-floor + dynamic-roll path, with
+    window offsets at 128-lane (not 1024) quanta."""
+    rng = np.random.default_rng(41)
+    blocks = [family(rng, 1200, 3)]
+    assert_parity(blocks, K=1, VW=2048, LW=2048, W=1024, RW=8,
+                  local=False, banded=True, wb=60, wf_milli=30,
+                  expect_window_offsets=True)
