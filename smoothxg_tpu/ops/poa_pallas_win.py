@@ -52,6 +52,10 @@ NEG16 = -16000
 NEGBIG = -(1 << 30)
 RING_CAP = 8
 PCAP = 4
+# debug: when True (interpret-only), the kernel emits a 4th output with
+# the final round's packed H|CODE16 plane and the per-node window
+# offsets, so tests can compare the DP against the oracle row by row
+DEBUG_DUMP = False
 D1CAP = 63        # 6-bit E1 delta field (max g-e is 36 across tiers)
 D2CAP = 127       # 7-bit E2 delta field (max q-c is 80 across tiers)
 
@@ -96,10 +100,12 @@ def _win_core(K: int, VW: int, LW: int, W: int, RW: int, local: bool,
     DSENT = D1CAP | (D2CAP << 6)
 
     def kernel(nseq_s, par_s, slen_r, seqs_r,
-               meta_r, exp_r, paths_r,
-               HA, DD,
-               baseA, posA, nodeat, ringA, nxtA, npredA, nsuccA, preds8,
-               tgtA, bchA, *extraA):
+               meta_r, exp_r, paths_r, *rest):
+        if DEBUG_DUMP:
+            dbg_r = rest[0]
+            rest = rest[1:]
+        (HA, DD, baseA, posA, nodeat, ringA, nxtA, npredA, nsuccA,
+         preds8, tgtA, bchA, *extraA) = rest
         if banded:
             mrA, MrA, offA = extraA
         lane128 = jax.lax.broadcasted_iota(DT, (1, 128), 1)
@@ -355,14 +361,18 @@ def _win_core(K: int, VW: int, LW: int, W: int, RW: int, local: bool,
                     nps.append(np_)
                     npm = jnp.maximum(npm, jnp.where(act, np_, 0))
                     if banded:
-                        # window anchor: 128-aligned at the band floor;
-                        # a band wider than the stored window overflows
+                        # window anchor: 128-aligned at (band floor - 1):
+                        # the match
+                        # move at column blo reads the predecessor's
+                        # value at blo-1, which lies in the PRED's band
+                        # (its floor is lower), so it must be stored.
+                        # A band wider than the stored window overflows
                         # (native redo), same contract as node capacity
                         blo_k = jnp.maximum(
                             0, mrA[kb + v] - bws[k] - adls[k])
                         bhi_k = jnp.minimum(
                             Ls[k], MrA[kb + v] + bws[k] + adrs[k])
-                        off_k = (blo_k // OQ) * OQ
+                        off_k = (jnp.maximum(blo_k - 1, 0) // OQ) * OQ
                         ovfb[k] = ovfb[k] | (act &
                                              ((bhi_k - off_k) >= W))
                         offA[ia] = off_k
@@ -397,11 +407,19 @@ def _win_core(K: int, VW: int, LW: int, W: int, RW: int, local: bool,
                         dd = DD[pl.ds(FW * du, FW), :]
                         dx = (dd >> (13 * (pp & 1))) & 0x1FFF
                         if banded:
+                            # realign pred window frame -> current frame:
+                            # out[s] = slab[s + delta].  delta is USUALLY
+                            # >= 0 (min-rank grows along edges) but can be
+                            # NEGATIVE: a node's min-rank comes via its
+                            # shallowest pred while ANOTHER pred sits
+                            # deeper with a higher window (the bug class
+                            # caught by the -l 4000 parity check)
                             offp = jnp.where(
                                 okp, offA[kb + pidc], 0)
                             delta = (offs[k] - offp) // 128
-                            sh = jnp.where(delta > 0, FW - delta, 0)
-                            dmask = subW < (FW - delta)
+                            sh = jnp.mod(-delta, FW)
+                            dmask = (subW + delta >= 0) & \
+                                (subW + delta < FW)
                             hh = jnp.where(
                                 dmask, pltpu.roll(hh, sh, axis=0),
                                 (NEG16 + OFF))
@@ -958,6 +976,21 @@ def _win_core(K: int, VW: int, LW: int, W: int, RW: int, local: bool,
             meta_r[k, 0, 2] = Rs[k]
             meta_r[k, 0, 3] = gss[k]
 
+        if DEBUG_DUMP:
+            # final round's H|CODE16 plane + per-node offsets (row VW of
+            # the dump holds offA for nodes 0..VW-1 as a lane table)
+            dbg_r[0, 0:(VW + 1) * KF, :] = HA[pl.ds(0, (VW + 1) * KF), :]
+
+            def offdump(i2, _):
+                val = offA[i2] if banded else jnp.int32(0)
+                rr = (VW + 1) * KF + i2 // 128
+                cur = dbg_r[0, pl.ds(rr, 1), :]
+                dbg_r[0, pl.ds(rr, 1), :] = jnp.where(
+                    lane128 == (i2 % 128), val, cur)
+                return 0
+
+            jax.lax.fori_loop(0, VW, offdump, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B,),
@@ -978,7 +1011,10 @@ def _win_core(K: int, VW: int, LW: int, W: int, RW: int, local: bool,
                          memory_space=pltpu.VMEM),       # base/ring/order
             pl.BlockSpec((K, RW * LWr, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),       # paths
-        ],
+        ] + ([pl.BlockSpec((1, (VW + 1) * KF + VWr, 128),
+                           lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)]
+             if DEBUG_DUMP else []),
         scratch_shapes=[
             pltpu.VMEM(((VW + 1) * KF + FW, 128), DT),   # HA = H | CODE16
             pltpu.VMEM((NPAIR * KF + FW, 128), DT),      # DD = d1|d2 pairs
@@ -1005,7 +1041,8 @@ def _win_core(K: int, VW: int, LW: int, W: int, RW: int, local: bool,
             jax.ShapeDtypeStruct((B * K, 1, 4), jnp.int32),
             jax.ShapeDtypeStruct((B * K, 3 * VWr, 128), jnp.int32),
             jax.ShapeDtypeStruct((B * K, RW * LWr, 128), jnp.int32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((B, (VW + 1) * KF + VWr, 128),
+                                   jnp.int32)] if DEBUG_DUMP else []),
         interpret=interpret,
     )
     return pallas_fn
@@ -1018,8 +1055,11 @@ def _win_fn(K: int, VW: int, LW: int, W: int, RW: int, local: bool,
     pallas_fn = _win_core(K, VW, LW, W, RW, local, interpret, B, banded)
 
     def fn(nseq, par, slen, seqs):
-        meta, exp, paths = pallas_fn(nseq, par, slen.astype(jnp.int32),
-                                     seqs.astype(jnp.int32))
+        out = pallas_fn(nseq, par, slen.astype(jnp.int32),
+                        seqs.astype(jnp.int32))
+        meta, exp, paths = out[:3]
+        if DEBUG_DUMP:                  # pragma: no cover - debug only
+            fn.debug_dump = out[3]
         return meta[:, 0, :], exp.astype(jnp.int16), paths.astype(jnp.int16)
 
     return fn

@@ -268,3 +268,42 @@ def test_win_banded_aligned8_seq_roll_path():
     assert_parity(blocks, K=1, VW=2048, LW=2048, W=1024, RW=8,
                   local=False, banded=True, wb=60, wf_milli=30,
                   expect_window_offsets=True)
+
+
+@pytest.mark.slow
+def test_win_banded_negative_realign_delta():
+    """Length-heterogeneous long blocks create nodes whose min-rank comes
+    via a shallow pred while another pred sits deeper with a HIGHER
+    window — the realign delta goes negative (caught on the real -l 4000
+    DRB1 blocks: a positive-only realign silently read the deep pred's
+    window unshifted).  Also covers the blo-1 window anchor: the match
+    move at the band floor reads the pred's value one column below."""
+    rng = np.random.default_rng(9)
+
+    def het_family(L, n, dels):
+        base = rng.integers(0, 4, L).astype(np.int8)
+        out = [base]
+        for i in range(n - 1):
+            s = base.copy()
+            idxs = rng.choice(len(s), 40, replace=False)
+            s[idxs] = (s[idxs] + rng.integers(1, 4, 40)) % 4
+            if i < len(dels) and dels[i]:
+                p = int(rng.integers(200, len(s) - dels[i] - 200))
+                s = np.concatenate([s[:p], s[p + dels[i]:]])
+            out.append(s.astype(np.int8))
+        return out
+
+    from smoothxg_tpu.ops.poa_pallas_fused import FusedPallasEngine
+    p = POAParams(1, 4, 6, 2, 26, 1, local=False, wb=311, wf_milli=30)
+    blocks = [het_family(4000, 5, (500, 900)),
+              het_family(3500, 6, (300, 0, 300))]
+    eng = FusedPallasEngine(tiers=((1, 5888, 10240, 3072),), max_seqs=16,
+                            max_batch=2, interpret=True, threads=1,
+                            steal=False)
+    graphs = eng.poa_block_batch([(sq, [1] * len(sq), p) for sq in blocks])
+    assert eng.redo == 0 and eng.fallbacks == 0, eng.stats()
+    for sq, g in zip(blocks, graphs):
+        f = oracle(sq, p)
+        assert g.base == f.base
+        assert g.seq_paths == f.paths
+        assert g._topo == f.topo_order()
