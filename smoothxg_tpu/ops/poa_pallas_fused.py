@@ -987,9 +987,16 @@ class FusedPallasEngine:
     # ~1.3-1.7x the sequence-length spread (measured on the DRB1 -l 4000
     # blocks: len spreads 559-3516 -> rank spreads 945-5198) — hence
     # W = 3072 with a spread-aware router (see _route)
+    # The (1, 4352, 4096, 4096) tier runs full-width spoa semantics for
+    # sequences up to 4095 — the range the 2048-wide tiers cannot hold
+    # and the long-block band policy (default threshold 4k) does not
+    # convert: the reference's -l 1100..-l 2000 length targets and most
+    # of the default -l 4000 blockset land exactly there.
     TIERS = ((4, 2176, 2048, 2048), (2, 4352, 2048, 2048),
-             (1, 8704, 2048, 2048), (1, 5888, 10240, 3072))
-    ROUTE_MARGIN = 0.85
+             (1, 8704, 2048, 2048), (1, 4352, 4096, 4096),
+             (1, 5888, 10240, 3072))
+    ROUTE_MARGIN = 0.85   # legacy est scale (kept for compat callers)
+    GROWTH_CAL = 0.75     # growth-term calibration (see _route)
     # long (banded-window) tiers ship smaller side buffers: fewer
     # sequences and a shorter batch (long blocks are rare and huge)
     LONG_RW = 16
@@ -1017,7 +1024,11 @@ class FusedPallasEngine:
                  shape: tuple = SHAPE, interpret: bool = False,
                  validate: bool = True, devices: int | None = None,
                  threads: int = 1, steal: bool | None = None,
-                 tiers: tuple | None = None):
+                 tiers: tuple | None = None, kernel: str = "win"):
+        # kernel="stacked" dispatches the round-3 stacked kernel family
+        # (full-width tiers only) for A/B comparisons against the
+        # windowed kernel; "win" (default) is the production path
+        self.kernel = kernel
         from . import poa_native
         from .poa_fused import FusedHostEngine
         self.VW, self.LW = shape
@@ -1053,6 +1064,7 @@ class FusedPallasEngine:
             else steal
         self.stolen = 0
         self._dev_rows_ps = float(self.DEV_ROWS_PS)
+        self._dev_brows_ps = float(self.DEV_ROWS_PS)
         self._host_cells_ps = float(self.NATIVE_CELLS_PS)  # per worker
         self._warm_keys: set = set()   # jit variants already compiled
         self._fresh_compile = False
@@ -1095,6 +1107,7 @@ class FusedPallasEngine:
             "predicted_overflow": self.predicted_overflow,
             "device_wait_s": round(self.device_s, 3),
             "dev_rows_per_s": round(self._dev_rows_ps),
+            "dev_block_rows_per_s": round(self._dev_brows_ps),
             "host_cells_per_s": round(self._host_cells_ps),
         }
 
@@ -1347,7 +1360,17 @@ class FusedPallasEngine:
             if sumlen <= VW:
                 return ti
             if est is None:
-                est = self._estimate_final_v(seqs) * self.ROUTE_MARGIN
+                # growth-calibrated node estimate: the mash estimate's
+                # GROWTH term (est - L0) overshoots the real growth
+                # (V - L0) by design; measured across all 59 DRB1 blocks
+                # at 4 length targets the growth ratio is p50 0.43 /
+                # p90 0.74 / max 0.96, so scaling it by GROWTH_CAL
+                # routes the typical block one tier lower with ~10%
+                # residual overflow risk on borderline blocks — and an
+                # overflow redo costs about what the next tier up would
+                # have (round-granular in-kernel bail + native pool)
+                raw = self._estimate_final_v(seqs)
+                est = L0 + (raw - L0) * self.GROWTH_CAL
             if est <= VW:
                 return ti
         if fits_shape:
@@ -1401,6 +1424,7 @@ class FusedPallasEngine:
         import time as _time
         t_devstart = _time.perf_counter()
         dev_rows = 0.0
+        dev_brows = 0.0      # undivided by K: true block rows (rounds x V)
         self._fresh_compile = False
         handles = []
         for key, idxs in dev.items():
@@ -1410,6 +1434,7 @@ class FusedPallasEngine:
                                      len(blocks[i][0][0])), reverse=True)
             for i in idxs:
                 dev_rows += self._steal_costs(blocks[i][0], key[2])[1]
+                dev_brows += self._steal_costs(blocks[i][0])[1]
             capt = self._tier_batch(key[2]) * self.n_dev
             for s in range(0, len(idxs), capt):
                 handles.append(self._launch(blocks, idxs[s:s + capt],
@@ -1420,7 +1445,8 @@ class FusedPallasEngine:
         # that compiled a fresh jit variant are excluded entirely
         if handles and dev_rows and not self._fresh_compile \
                 and not self.interpret:
-            def _watch_dev(hs=list(handles), rows=dev_rows, t0=t_devstart):
+            def _watch_dev(hs=list(handles), rows=dev_rows,
+                           brows=dev_brows, t0=t_devstart):
                 try:
                     for h in hs:
                         h[2].block_until_ready()
@@ -1429,6 +1455,8 @@ class FusedPallasEngine:
                 dt = max(_time.perf_counter() - t0, 1e-6)
                 self._dev_rows_ps = 0.5 * self._dev_rows_ps + \
                     0.5 * (rows / dt)
+                self._dev_brows_ps = 0.5 * self._dev_brows_ps + \
+                    0.5 * (brows / dt)
             _threading.Thread(target=_watch_dev, daemon=True).start()
         # start every handle's D2H as soon as its kernel finishes, so
         # transfers of chunk k ride behind kernel k+1 instead of
@@ -1594,6 +1622,23 @@ class FusedPallasEngine:
             else:
                 fn = _compiled_fused(VW, LW, RW, local, self.interpret, B,
                                      banded=banded)
+        elif self.kernel == "stacked":
+            assert W == LW, "stacked kernel is full-width only"
+            from .poa_pallas_stacked import (_compiled_stacked,
+                                             _compiled_stacked_sharded)
+            if self.n_dev > 1:
+                fn = _compiled_stacked_sharded(
+                    K, VW, LW, RW, local, self.interpret,
+                    mb // K, self.n_dev, banded=banded)
+            else:
+                fn = _compiled_stacked(K, VW, LW, RW, local,
+                                       self.interpret, B // K,
+                                       banded=banded)
+            # windowed seq layout -> stacked folded layout (char j sits
+            # at flat position j+1 in both; drop the window pad rows)
+            seqs = np.ascontiguousarray(
+                seqs[:, :RW * (LW // 128), :]).reshape(
+                    B, RW, LW).reshape(B, RW * FOLD, LW // FOLD)
         else:
             from .poa_pallas_win import (_compiled_win,
                                          _compiled_win_sharded)

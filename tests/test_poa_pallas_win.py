@@ -307,3 +307,21 @@ def test_win_banded_negative_realign_delta():
         assert g.base == f.base
         assert g.seq_paths == f.paths
         assert g._topo == f.topo_order()
+
+
+def test_engine_stacked_kernel_ab_selectable():
+    """kernel="stacked" dispatches the round-3 stacked family through the
+    same engine surface (A/B lane), producing identical graphs."""
+    from smoothxg_tpu.ops.poa_pallas_fused import FusedPallasEngine
+    rng = np.random.default_rng(13)
+    p = POAParams(1, 4, 6, 2, 26, 1, local=True)
+    blocks = [(family(rng, 70, 4), None, p), (family(rng, 50, 3), None, p)]
+    blocks = [(sq, [1] * len(sq), pp) for sq, _, pp in blocks]
+    a = FusedPallasEngine(tiers=((2, 512, 256, 256),), max_seqs=16,
+                          max_batch=4, interpret=True, kernel="stacked")
+    b = FusedPallasEngine(tiers=((2, 512, 256, 256),), max_seqs=16,
+                          max_batch=4, interpret=True)
+    ga = a.poa_block_batch(blocks)
+    gb = b.poa_block_batch(blocks)
+    for x, y in zip(ga, gb):
+        assert x.base == y.base and x.seq_paths == y.seq_paths
