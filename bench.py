@@ -284,7 +284,8 @@ def main() -> int:
             round(native_bps, 3) if native_bps else None,
         "cpu_numpy_blocks_per_s": round(numpy_bps, 3),
         "warmup_compile_s": round(warmup_s, 1),
-        "e2e_1iter_warm_s": round(e2e_1iter_s, 2),
+        "e2e_1iter_warm_s": (round(e2e_1iter_s, 2)
+                             if e2e_1iter_s is not None else None),
         "device_blocks": st["device_blocks"],
         "host_fallbacks": st["fallbacks"],
         "device_redo": st["redo"],
