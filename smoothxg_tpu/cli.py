@@ -254,4 +254,18 @@ def _parse_poa_params(s: str, use_abpoa: bool) -> tuple:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main()
+    # Hard-exit once the run is complete: the axon TPU client's C++
+    # teardown sporadically aborts (uncaught exception in a shutdown
+    # thread), which would turn a fully successful run into SIGABRT.
+    # All outputs are written and fsync'd by this point; run the
+    # tempfile registry's cleanup explicitly since os._exit skips
+    # atexit hooks.
+    try:
+        from .utils.tempfiles import cleanup as _tmp_cleanup
+        _tmp_cleanup()
+    except Exception:
+        pass
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)

@@ -68,6 +68,7 @@ silent truncation.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -992,7 +993,14 @@ class FusedPallasEngine:
     # and the long-block band policy (default threshold 4k) does not
     # convert: the reference's -l 1100..-l 2000 length targets and most
     # of the default -l 4000 blockset land exactly there.
-    TIERS = ((4, 2176, 2048, 2048), (2, 4352, 2048, 2048),
+    # The (3, 2944, 2048) tier covers the bulk of the default ctest
+    # workload at 1.5x the K2 stacking: measured on the -l 700 DRB1
+    # blockset, final V is <= 2944 for 23/24 blocks (routing estimate:
+    # 21/24) while only 11/24 fit the K4 tier's 2176 budget — K3xVW2944
+    # is the largest (K, VW) with K >= 3 under the ~110 MB scoped-VMEM
+    # plane budget (K*VW*W*6 B; see ops/poa_pallas_win.py).
+    TIERS = ((4, 2176, 2048, 2048), (3, 2944, 2048, 2048),
+             (2, 4352, 2048, 2048),
              (1, 8704, 2048, 2048), (1, 4352, 4096, 4096),
              (1, 5888, 10240, 3072))
     ROUTE_MARGIN = 0.85   # legacy est scale (kept for compat callers)
@@ -1047,7 +1055,7 @@ class FusedPallasEngine:
             (t[0], t[1], t[2], t[3] if len(t) > 3 else t[2])
             for t in tiers)
         for K, VW, LW, W in self.tiers:
-            assert max_batch % K == 0, (max_batch, K)
+            assert max_batch >= K, (max_batch, K)
         self.VW = max(t[1] for t in self.tiers)
         self.LW = max(t[2] for t in self.tiers)
         self.RW = max_seqs
@@ -1087,6 +1095,12 @@ class FusedPallasEngine:
         self.redo = 0            # device-overflow blocks redone on host
         self.predicted_overflow = 0   # pre-routed by the growth estimate
         self.device_s = 0.0
+        # backend-loss failover: when the TPU tunnel ABORTs mid-run, the
+        # failed + remaining blocks reroute to the native pool and the
+        # device is marked dead for the rest of the process — a lost
+        # backend degrades throughput, never correctness or completion
+        # (the axon terminal sporadically aborts long sessions)
+        self.device_lost: str | None = None
         if not interpret:
             from .poa_jax import ensure_backend, _enable_compile_cache
             _enable_compile_cache()
@@ -1109,7 +1123,53 @@ class FusedPallasEngine:
             "dev_rows_per_s": round(self._dev_rows_ps),
             "dev_block_rows_per_s": round(self._dev_brows_ps),
             "host_cells_per_s": round(self._host_cells_ps),
+            "device_lost": self.device_lost,
         }
+
+    @staticmethod
+    def _is_backend_loss(e: Exception) -> bool:
+        """True for runtime-backend failures (tunnel abort, server gone,
+        watchdog-detected hang), False for programming errors that must
+        propagate."""
+        name = type(e).__name__
+        if name not in ("JaxRuntimeError", "XlaRuntimeError",
+                        "RuntimeError", "InternalError", "OSError",
+                        "TimeoutError"):
+            return False
+        msg = str(e)
+        return any(t in msg for t in (
+            "ABORTED", "Aborted", "UNAVAILABLE", "INTERNAL",
+            "DEADLINE", "Socket closed", "connection", "terminated",
+            "backend", "stalled"))
+
+    # The axon tunnel wedges occasionally (a device call blocks forever
+    # rather than raising).  Every blocking device interaction runs under
+    # this watchdog; a stall is classified as backend loss and the run
+    # completes on the native pool.  Generous default: a cold-cache
+    # compile of the largest tier can legitimately take minutes.
+    DEV_TIMEOUT_S = float(os.environ.get("SMXG_DEV_TIMEOUT_S", "600"))
+
+    @classmethod
+    def _dev_call(cls, fn, what: str):
+        import threading as _t
+        out: dict = {}
+
+        def run():
+            try:
+                out["v"] = fn()
+            except Exception as e:          # re-raised on the caller
+                out["e"] = e
+
+        th = _t.Thread(target=run, daemon=True)
+        th.start()
+        th.join(cls.DEV_TIMEOUT_S)
+        if th.is_alive():
+            raise TimeoutError(
+                f"device {what} stalled >{cls.DEV_TIMEOUT_S:.0f}s "
+                f"(tunnel hang)")
+        if "e" in out:
+            raise out["e"]
+        return out["v"]
 
     def _steal_costs(self, seqs, ti: int | None = None) -> tuple[float, float]:
         """(native_cost, device_cost) estimates for one block.  Native DP
@@ -1166,6 +1226,8 @@ class FusedPallasEngine:
         from .poa_pallas_win import _compiled_win, _compiled_win_sharded
         tis = range(len(self.tiers)) if tiers is None else tiers
         for ti in tis:
+          if self.device_lost:
+              return
           K, VW, LW, W = self.tiers[ti]
           RW = self._tier_rw(ti)
           mb = self._tier_batch(ti)
@@ -1205,9 +1267,25 @@ class FusedPallasEngine:
                     fn = _compiled_win(K, VW, LW, W, RW, local,
                                        self.interpret, B // K,
                                        banded=bd)
-                meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
-                                      jnp.asarray(slen), jnp.asarray(seqs))
-                np.asarray(meta)
+                if self.interpret:
+                    meta, exp, paths = fn(
+                        jnp.asarray(nseq), jnp.asarray(par),
+                        jnp.asarray(slen), jnp.asarray(seqs))
+                    np.asarray(meta)
+                else:
+                    try:
+                        self._dev_call(
+                            lambda: np.asarray(fn(
+                                jnp.asarray(nseq), jnp.asarray(par),
+                                jnp.asarray(slen), jnp.asarray(seqs))[0]),
+                            f"warmup tier{ti}")
+                    except Exception as e:
+                        if not self._is_backend_loss(e):
+                            raise
+                        # a dead backend at warmup: engine degrades to
+                        # the native pool instead of failing the caller
+                        self.device_lost = str(e)[:200]
+                        return
                 self._warm_keys.add(("k", local, bd, B, ti))
 
     def warmup_async(self, locals_=(True,), banded=(False,), tiers=None):
@@ -1407,7 +1485,7 @@ class FusedPallasEngine:
         dev: dict[tuple, list[int]] = {}
         fb: list[int] = []
         for i, (seqs, weights, params) in enumerate(blocks):
-            ti = self._route(seqs, params)
+            ti = None if self.device_lost else self._route(seqs, params)
             if ti is not None:
                 ti = self._promote_tier(ti, params.local, params.wb >= 0)
                 dev.setdefault((params.local, params.wb >= 0, ti),
@@ -1427,6 +1505,8 @@ class FusedPallasEngine:
         dev_brows = 0.0      # undivided by K: true block rows (rounds x V)
         self._fresh_compile = False
         handles = []
+        lost: list[int] = []          # chunks lost to a backend failure
+        todo: list[tuple[list[int], int]] = []
         for key, idxs in dev.items():
             # cost-sort so each stacked grid step's K lockstep blocks
             # carry similar round counts / row counts
@@ -1437,8 +1517,17 @@ class FusedPallasEngine:
                 dev_brows += self._steal_costs(blocks[i][0])[1]
             capt = self._tier_batch(key[2]) * self.n_dev
             for s in range(0, len(idxs), capt):
-                handles.append(self._launch(blocks, idxs[s:s + capt],
-                                            key[2]))
+                todo.append((idxs[s:s + capt], key[2]))
+        for ci, (chunk_i, ti_i) in enumerate(todo):
+            try:
+                handles.append(self._launch(blocks, chunk_i, ti_i))
+            except Exception as e:
+                if not self._is_backend_loss(e):
+                    raise
+                self.device_lost = str(e)[:200]
+                for chunk_j, _ in todo[ci:]:
+                    lost.extend(chunk_j)
+                break
         # watcher: time actual kernel completion (meta readiness) off the
         # main thread so the device-rate EMA isn't polluted by consumer
         # decode/finalize work interleaved with the yields below; runs
@@ -1502,16 +1591,33 @@ class FusedPallasEngine:
         for chunk, ti, meta, exp, paths in handles:
             t0 = _time.perf_counter()
             _, VW_t, LW_t, _W_t = self.tiers[ti]
-            meta = np.asarray(meta)
-            VWr = VW_t // 128
-            ok = (meta[:len(chunk), 1] == 0) & (meta[:len(chunk), 0] <= VW_t)
-            maxv = int(meta[:len(chunk), 0][ok].max(initial=0))
-            vr = next((t for t in self.VRS if t * 128 >= maxv), VWr)
-            vr = min(vr, VWr)
-            if vr < VWr:
-                exp = _exp_slicer(VWr, vr)(exp)
-            exp = np.asarray(exp).reshape(len(meta), 3, -1)
-            paths = np.asarray(paths)
+            try:
+                meta = (np.asarray(meta) if self.interpret else
+                        self._dev_call(lambda m=meta: np.asarray(m),
+                                       "meta D2H"))
+                VWr = VW_t // 128
+                ok = (meta[:len(chunk), 1] == 0) & \
+                    (meta[:len(chunk), 0] <= VW_t)
+                maxv = int(meta[:len(chunk), 0][ok].max(initial=0))
+                vr = next((t for t in self.VRS if t * 128 >= maxv), VWr)
+                vr = min(vr, VWr)
+                if vr < VWr:
+                    exp = _exp_slicer(VWr, vr)(exp)
+                if self.interpret:
+                    exp = np.asarray(exp).reshape(len(meta), 3, -1)
+                    paths = np.asarray(paths)
+                else:
+                    exp = self._dev_call(
+                        lambda a=exp: np.asarray(a),
+                        "exp D2H").reshape(len(meta), 3, -1)
+                    paths = self._dev_call(
+                        lambda a=paths: np.asarray(a), "paths D2H")
+            except Exception as e:
+                if not self._is_backend_loss(e):
+                    raise
+                self.device_lost = str(e)[:200]
+                lost.extend(chunk)
+                continue
             if paths.ndim == 4:      # sliced (B, rcap, lcapr, 128) planes
                 paths = paths.reshape(paths.shape[0], paths.shape[1], -1)
             else:                    # full (B, RW*LWr, 128) planes
@@ -1557,13 +1663,29 @@ class FusedPallasEngine:
             g = f()
             self.guard_splits += getattr(g, "guard_splits", 0)
             yield i, "graph", g
+        if lost:
+            # backend died mid-run: finish the lost chunks on the native
+            # pool so the caller still gets every block (device_lost in
+            # stats() records the first failure)
+            import sys as _sys
+            print(f"[smoothxg_tpu::engine] TPU backend lost mid-run "
+                  f"({self.device_lost}); rerouting {len(lost)} blocks "
+                  f"to the native pool", file=_sys.stderr)
+            for i, f in zip(lost, _async(lost)):
+                g = f()
+                self.guard_splits += getattr(g, "guard_splits", 0)
+                yield i, "graph", g
 
     def _tier_rw(self, ti: int) -> int:
         return self.LONG_RW if self.tiers[ti][2] > 2048 else self.RW
 
     def _tier_batch(self, ti: int) -> int:
-        return self.LONG_BATCH if self.tiers[ti][2] > 2048 \
+        K = self.tiers[ti][0]
+        mb = self.LONG_BATCH if self.tiers[ti][2] > 2048 \
             else self.max_batch
+        # the stacked grid packs K blocks per step: round the dispatch
+        # batch down to a K multiple (e.g. 30 for K=3 at max_batch 32)
+        return max((mb // K) * K, K)
 
     def _launch(self, blocks, chunk, ti: int = 0):
         import jax.numpy as jnp
@@ -1650,8 +1772,14 @@ class FusedPallasEngine:
                 fn = _compiled_win(K, VW, LW, W, RW, local,
                                    self.interpret, B // K,
                                    banded=banded)
-        meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
-                              jnp.asarray(slen), jnp.asarray(seqs))
+        if self.interpret:
+            meta, exp, paths = fn(jnp.asarray(nseq), jnp.asarray(par),
+                                  jnp.asarray(slen), jnp.asarray(seqs))
+        else:
+            meta, exp, paths = self._dev_call(
+                lambda: fn(jnp.asarray(nseq), jnp.asarray(par),
+                           jnp.asarray(slen), jnp.asarray(seqs)),
+                f"dispatch tier{ti}")
         # slice the paths D2H to the chunk's tier while still on device
         maxr = max(len(blocks[i][0]) for i in chunk)
         maxl = max(len(s) for i in chunk for s in blocks[i][0])
