@@ -266,6 +266,21 @@ if __name__ == "__main__":
         _tmp_cleanup()
     except Exception:
         pass
+    try:
+        # terminate pool workers: os._exit skips their atexit shutdown
+        # and orphans would hold our stdio pipes open (hanging any
+        # parent that reads them, e.g. subprocess.communicate)
+        from .utils.procpool import shutdown as _pool_shutdown
+        _pool_shutdown()
+    except Exception:
+        pass
+    try:
+        # leave the jax.distributed barrier cleanly so peer ranks
+        # don't hang waiting for this process
+        import jax
+        jax.distributed.shutdown()
+    except Exception:
+        pass
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(rc)

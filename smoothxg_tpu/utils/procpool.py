@@ -39,6 +39,27 @@ def get_pool(n_workers: int) -> ProcessPoolExecutor:
     return _POOL
 
 
+def shutdown() -> None:
+    """Terminate pool workers NOW.  For callers that hard-exit via
+    os._exit (smoothxg_tpu.cli) and therefore skip atexit: orphaned
+    spawn workers would otherwise outlive the CLI holding its inherited
+    stdio pipes open (a parent reading those pipes then blocks forever).
+    """
+    global _POOL, _POOL_SIZE
+    if _POOL is not None:
+        try:
+            _POOL.shutdown(wait=False, cancel_futures=True)
+            for p in getattr(_POOL, "_processes", {}).values():
+                try:
+                    p.terminate()
+                except Exception:
+                    pass
+        except Exception:
+            pass
+        _POOL = None
+        _POOL_SIZE = 0
+
+
 def _warm_task() -> None:
     # front-load the imports a real task would pay at unpickle time
     from ..pipeline import breaks, smooth  # noqa: F401
