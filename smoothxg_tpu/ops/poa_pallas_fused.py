@@ -1137,10 +1137,13 @@ class FusedPallasEngine:
                         "TimeoutError"):
             return False
         msg = str(e)
+        # deliberately narrow: only runtime-transport failures.  Config
+        # errors that happen to mention "backend"/"device" must still
+        # propagate (e.g. a mesh asking for more devices than exist).
         return any(t in msg for t in (
             "ABORTED", "Aborted", "UNAVAILABLE", "INTERNAL",
-            "DEADLINE", "Socket closed", "connection", "terminated",
-            "backend", "stalled"))
+            "DEADLINE", "Socket closed", "connection reset",
+            "terminated", "stalled"))
 
     # The axon tunnel wedges occasionally (a device call blocks forever
     # rather than raising).  Every blocking device interaction runs under
