@@ -1026,7 +1026,8 @@ class FusedPallasEngine:
     # steer the first run; runs that trigger fresh jit compiles are
     # excluded from the device EMA.
     NATIVE_CELLS_PS = 60e6    # per pool worker, contended
-    DEV_ROWS_PS = 500e3
+    DEV_ROWS_PS = 400e3       # converged EMA on the ctest x16 workload
+    #                           (tools/probe_steal.py: 350-410k)
 
     def __init__(self, max_seqs: int = 48, max_batch: int = 32,
                  shape: tuple = SHAPE, interpret: bool = False,
