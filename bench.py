@@ -299,6 +299,7 @@ def main() -> int:
         "dev_rows_per_s": st["dev_rows_per_s"],
         "engine_calls": st["calls"],
         "device_wait_s": st["device_wait_s"],
+        "device_lost": st.get("device_lost"),
         **extras,
     }))
     return 0
@@ -312,14 +313,31 @@ def _outer() -> int:
     import subprocess
     env = dict(os.environ)
     env["BENCH_INNER"] = "1"
+    last_good = None
     for attempt in range(3):
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True)
         sys.stderr.write(r.stderr[-4000:])
         if r.returncode == 0 and '"metric"' in r.stdout:
-            sys.stdout.write(r.stdout)
-            return 0
+            last_good = r.stdout
+            # the engine's backend-loss failover lets a run FINISH on the
+            # native pool after a tunnel abort — a valid but degraded
+            # measurement.  Retry in a fresh process (fresh tunnel
+            # session) unless this was the last attempt.
+            try:
+                lost = json.loads(
+                    r.stdout.strip().splitlines()[-1]).get("device_lost")
+            except Exception:
+                lost = None
+            if not lost:
+                sys.stdout.write(r.stdout)
+                return 0
+            sys.stderr.write(f"\n[bench] device lost mid-run ({lost}); "
+                             f"retrying in a fresh process\n")
         time.sleep(120)
+    if last_good is not None:       # every attempt degraded: report it
+        sys.stdout.write(last_good)
+        return 0
     sys.stdout.write(r.stdout)
     return r.returncode
 
