@@ -319,7 +319,10 @@ def _outer() -> int:
     env = dict(os.environ)
     env["BENCH_INNER"] = "1"
     last_good = None
+    t_start = time.time()
     for attempt in range(3):
+        if attempt and time.time() - t_start > 1500:
+            break                # stay inside the driver's bench window
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True)
         sys.stderr.write(r.stderr[-4000:])
