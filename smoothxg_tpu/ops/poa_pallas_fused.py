@@ -1004,7 +1004,10 @@ class FusedPallasEngine:
              (1, 8704, 2048, 2048), (1, 4352, 4096, 4096),
              (1, 5888, 10240, 3072))
     ROUTE_MARGIN = 0.85   # legacy est scale (kept for compat callers)
-    GROWTH_CAL = 0.75     # growth-term calibration (see _route)
+    GROWTH_CAL = 0.65     # growth-term calibration (see _route); at 0.65
+    #                       the ctest fixture routes 14/24 blocks to K4
+    #                       with zero overflow redos (0.75: 11/24; 0.55:
+    #                       17/24 but 2 redos) — measured true-V vs est
     # long (banded-window) tiers ship smaller side buffers: fewer
     # sequences and a shorter batch (long blocks are rare and huge)
     LONG_RW = 16
