@@ -275,6 +275,14 @@ if __name__ == "__main__":
     except Exception:
         pass
     try:
+        # run multiprocessing's own atexit teardown (skipped by os._exit)
+        # so queue finalizers and the resource_tracker unwind in order —
+        # otherwise every piped run ends with a spurious tracker warning
+        from multiprocessing import util as _mp_util
+        _mp_util._exit_function()
+    except Exception:
+        pass
+    try:
         # leave the jax.distributed barrier cleanly so peer ranks
         # don't hang waiting for this process
         import jax
