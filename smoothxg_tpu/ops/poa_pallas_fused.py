@@ -1097,7 +1097,9 @@ class FusedPallasEngine:
         self.tier_blocks: dict = {}
         self.fallbacks = 0
         self.redo = 0            # device-overflow blocks redone on host
+        self.vcap_redo = 0       # export slice under true V (bound miss)
         self.predicted_overflow = 0   # pre-routed by the growth estimate
+        self._last_vbound = 1 << 30
         self.device_s = 0.0
         # backend-loss failover: when the TPU tunnel ABORTs mid-run, the
         # failed + remaining blocks reroute to the native pool and the
@@ -1121,6 +1123,7 @@ class FusedPallasEngine:
             "fallbacks": self.fallbacks,
             "guard_splits": self.guard_splits,
             "redo": self.redo,
+            "vcap_redo": self.vcap_redo,
             "stolen": self.stolen,
             "predicted_overflow": self.predicted_overflow,
             "device_wait_s": round(self.device_s, 3),
@@ -1402,6 +1405,14 @@ class FusedPallasEngine:
         identical semantics."""
         if not seqs:
             return None
+        # upper bound on the block's final node count, recorded for the
+        # launch-time export-plane slice (see _launch): sum of lengths is
+        # a PROVEN bound (each round adds at most len(s) nodes); the raw
+        # mash estimate (uncalibrated — measured V/est 0.57-1.00) tightens
+        # it when available.  A block whose true V exceeds the sliced cap
+        # is redone natively (vcap_redo), so a too-tight bound costs
+        # throughput, never correctness.
+        self._last_vbound = sum(len(s) for s in seqs)
         maxlen = 0
         for s in seqs:
             if len(s) == 0:
@@ -1455,6 +1466,8 @@ class FusedPallasEngine:
                 # overflow redo costs about what the next tier up would
                 # have (round-granular in-kernel bail + native pool)
                 raw = self._estimate_final_v(seqs)
+                if raw > 0:
+                    self._last_vbound = min(self._last_vbound, int(raw) + 1)
                 est = L0 + (raw - L0) * self.GROWTH_CAL
             if est <= VW:
                 return ti
@@ -1491,9 +1504,11 @@ class FusedPallasEngine:
         # kernel variant (banded adds the rank prepass + band mask)
         dev: dict[tuple, list[int]] = {}
         fb: list[int] = []
+        vbounds: dict[int, int] = {}
         for i, (seqs, weights, params) in enumerate(blocks):
             ti = None if self.device_lost else self._route(seqs, params)
             if ti is not None:
+                vbounds[i] = self._last_vbound
                 ti = self._promote_tier(ti, params.local, params.wb >= 0)
                 dev.setdefault((params.local, params.wb >= 0, ti),
                                []).append(i)
@@ -1527,7 +1542,8 @@ class FusedPallasEngine:
                 todo.append((idxs[s:s + capt], key[2]))
         for ci, (chunk_i, ti_i) in enumerate(todo):
             try:
-                handles.append(self._launch(blocks, chunk_i, ti_i))
+                vcap = max(vbounds.get(i, 1 << 30) for i in chunk_i)
+                handles.append(self._launch(blocks, chunk_i, ti_i, vcap))
             except Exception as e:
                 if not self._is_backend_loss(e):
                     raise
@@ -1556,9 +1572,13 @@ class FusedPallasEngine:
             _threading.Thread(target=_watch_dev, daemon=True).start()
         # start every handle's D2H as soon as its kernel finishes, so
         # transfers of chunk k ride behind kernel k+1 instead of
-        # serializing with the decode loop (the tunnel is the slow link)
+        # serializing with the decode loop (the tunnel is the slow link).
+        # All three outputs are already final-size: _launch slices paths
+        # AND exp on device right after each chunk's kernel dispatch, so
+        # nothing here waits on a post-meta slicer that the in-order
+        # device stream would queue behind every later chunk's kernel.
         for h in handles:
-            for arr in h[2:]:
+            for arr in h[2:5]:
                 try:
                     arr.copy_to_host_async()
                 except (AttributeError, RuntimeError):  # pragma: no cover
@@ -1595,21 +1615,13 @@ class FusedPallasEngine:
             _threading.Thread(target=_watch_host, daemon=True).start()
         redo: list[int] = []
         redo_futs: list = []
-        for chunk, ti, meta, exp, paths in handles:
+        for chunk, ti, meta, exp, paths, vcap in handles:
             t0 = _time.perf_counter()
             _, VW_t, LW_t, _W_t = self.tiers[ti]
             try:
                 meta = (np.asarray(meta) if self.interpret else
                         self._dev_call(lambda m=meta: np.asarray(m),
                                        "meta D2H"))
-                VWr = VW_t // 128
-                ok = (meta[:len(chunk), 1] == 0) & \
-                    (meta[:len(chunk), 0] <= VW_t)
-                maxv = int(meta[:len(chunk), 0][ok].max(initial=0))
-                vr = next((t for t in self.VRS if t * 128 >= maxv), VWr)
-                vr = min(vr, VWr)
-                if vr < VWr:
-                    exp = _exp_slicer(VWr, vr)(exp)
                 if self.interpret:
                     exp = np.asarray(exp).reshape(len(meta), 3, -1)
                     paths = np.asarray(paths)
@@ -1632,16 +1644,24 @@ class FusedPallasEngine:
                                       LW_t)
             self.device_s += _time.perf_counter() - t0
             # kick overflow redos onto the pool NOW so they overlap the
-            # remaining handles' device wait + decode
+            # remaining handles' device wait + decode.  V > vcap means the
+            # launch-time export slice (routing upper bound) was too
+            # tight — the kernel result is fine but its export planes were
+            # truncated, so the block redoes natively (counted separately:
+            # it indicts the bound, not the kernel)
             h_redo = [i for b, i in enumerate(chunk)
                       if meta[b, 1] != 0 or int(meta[b, 0]) > VW_t]
+            h_vred = [i for b, i in enumerate(chunk)
+                      if i not in h_redo and int(meta[b, 0]) > vcap]
+            self.vcap_redo += len(h_vred)
+            h_redo += h_vred
             if h_redo:
                 redo.extend(h_redo)
                 redo_futs.extend(_async(h_redo))
             for b, i in enumerate(chunk):
                 seqs, weights, params = blocks[i]
                 V = int(meta[b, 0])
-                if meta[b, 1] != 0 or V > VW_t:
+                if meta[b, 1] != 0 or V > VW_t or V > vcap:
                     continue
                 planes = exp[b]
                 # decode compact codes back to raw bytes (same sorted-
@@ -1694,7 +1714,7 @@ class FusedPallasEngine:
         # batch down to a K multiple (e.g. 30 for K=3 at max_batch 32)
         return max((mb // K) * K, K)
 
-    def _launch(self, blocks, chunk, ti: int = 0):
+    def _launch(self, blocks, chunk, ti: int = 0, vcap: int | None = None):
         import jax.numpy as jnp
         K, VW, LW, W = self.tiers[ti]
         mb = self._tier_batch(ti)
@@ -1803,6 +1823,24 @@ class FusedPallasEngine:
                 self._fresh_compile = True
             paths = _paths_slicer(RW, LW // 128, min(rcap, RW),
                                   min(lcap, LW) // 128)(paths)
+        # slice the export planes EAGERLY to the chunk's routing upper
+        # bound: dispatched here — right behind this chunk's kernel in the
+        # in-order device stream — the slicer runs as soon as the kernel
+        # finishes, instead of queueing behind every later chunk's kernel
+        # as the old post-meta slice did.  A block whose true V exceeds
+        # the bound redoes natively (vcap_redo in the consume loop).
+        VWr = VW // 128
+        if vcap is None:
+            vcap = VW
+        vcap = min(vcap, VW)
+        vr = next((t for t in self.VRS if t * 128 >= vcap), VWr)
+        vr = min(vr, VWr)
+        if not self.interpret and vr < VWr:
+            ekey = ("e", VWr, vr)
+            if ekey not in self._warm_keys:
+                self._warm_keys.add(ekey)
+                self._fresh_compile = True
+            exp = _exp_slicer(VWr, vr)(exp)
         self.calls += 1
         self.tier_blocks[ti] = self.tier_blocks.get(ti, 0) + len(chunk)
-        return chunk, ti, meta, exp, paths
+        return chunk, ti, meta, exp, paths, vr * 128

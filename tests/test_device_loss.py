@@ -49,12 +49,12 @@ def test_dispatch_loss_fails_over_to_native(fail_at):
     calls = {"n": 0}
     real = eng._launch
 
-    def flaky(blks, chunk, ti=0):
+    def flaky(blks, chunk, ti=0, vcap=None):
         if calls["n"] == fail_at:
             calls["n"] += 1
             raise FakeAbort("ABORTED: TPU backend error (Aborted).")
         calls["n"] += 1
-        return real(blks, chunk, ti)
+        return real(blks, chunk, ti, vcap)
 
     eng._launch = flaky
     graphs = eng.poa_block_batch(blocks)
@@ -74,7 +74,7 @@ def test_programming_errors_still_propagate():
     eng = FusedPallasEngine(tiers=((2, 512, 256, 256),), max_seqs=16,
                             max_batch=4, interpret=True, devices=1)
 
-    def boom(blks, chunk, ti=0):
+    def boom(blks, chunk, ti=0, vcap=None):
         raise ValueError("a real bug, not a backend loss")
 
     eng._launch = boom
