@@ -251,6 +251,23 @@ def smooth_blocks(
                           wb=311, wf_milli=30)
         prepped.append((bid, block, pad, p))
 
+    n_band_converted = sum(1 for _, _, _, p in prepped
+                           if params.wb < 0 and p.wb >= 0)
+    if n_band_converted:
+        # loud: this is the one default-on semantic divergence from the
+        # reference a user running reference flags would hit unknowingly
+        # (reference default: full-width spoa at any length up to
+        # max_poa_length, src/main.cpp:376, src/smooth.cpp:736-753).
+        # PARITY.md quantifies the output delta on the DRB1 -l 4000 run.
+        Log.notice(
+            "smooth",
+            f"{n_band_converted}/{len(prepped)} blocks exceed "
+            f"--long-poa-band {long_poa_band} and will be aligned with "
+            f"abPOA band semantics (global + adaptive band wb=311 "
+            f"wf=0.03) instead of the reference-default full-width "
+            f"local spoa; pass --long-poa-band 0 for reference-default "
+            f"semantics (those blocks then run on the host pool)")
+
     if (threads > 1 and len(prepped) >= 2 * threads
             and getattr(engine, "supports_full_block_pool", False)):
         # native engine: the whole per-block body (extract -> POA ->

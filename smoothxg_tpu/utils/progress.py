@@ -21,6 +21,14 @@ class Log:
         if Log.enabled:
             print(f"[smoothxg_tpu::{tag}] {msg}", file=sys.stderr, flush=True)
 
+    @staticmethod
+    def notice(tag: str, msg: str) -> None:
+        """Loud one-line notice, printed even when info logging is off —
+        for behavior divergences a user must not miss (e.g. the
+        --long-poa-band semantic switch)."""
+        print(f"[smoothxg_tpu::{tag}] NOTICE: {msg}", file=sys.stderr,
+              flush=True)
+
 
 @contextmanager
 def phase(tag: str, msg: str):
