@@ -99,12 +99,17 @@ def _stable_hash(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
 
 
+GROUP_POOL_MIN = 2000   # fan link groups over the pool only at scale
+
+
 def create_consensus_graph(
     smoothed: FlatIndex,
     consensus_path_names: list[str],
     min_allele_length: int,
     max_allele_length: int,
     min_consensus_path_coverage: float = 0.0,
+    threads: int = 1,
+    smoothed_gfa: str | None = None,
 ) -> MutableGraph:
     cons_pids = [smoothed.get_path(n) for n in consensus_path_names
                  if smoothed.has_path(n)]
@@ -185,20 +190,26 @@ def create_consensus_graph(
         hit = _keys[i] == q
         return (np.where(hit, _poss[i], -1), np.where(hit, _hs[i], -1))
 
+    _plen_arr = np.zeros(max(cons_pids) + 1, dtype=np.int64)
+    for pid in cons_pids:
+        _plen_arr[pid] = smoothed.get_path_length(pid)
+
+    def consensus_part_batch(cons_pid_arr, node_arr) -> np.ndarray:
+        """positions of the consensus steps on these nodes ->
+        begin/middle/end eighths, vectorized (reference: :247-273)."""
+        cons_pid_arr = np.asarray(cons_pid_arr, dtype=np.int64)
+        node_arr = np.asarray(node_arr, dtype=np.int64)
+        p_, _ = last_step_of(cidx_arr[cons_pid_arr], node_arr)
+        clen = _plen_arr[cons_pid_arr]
+        eighth = clen // 8
+        return np.where(
+            p_ < 0, MIDDLE,
+            np.where(p_ < eighth, BEGIN,
+                     np.where(p_ < clen - eighth, MIDDLE, END)))
+
     def consensus_part(cons_pid: int, node_id: int) -> int:
-        """position of the consensus step on this node -> begin/middle/end
-        eighths (reference: :247-273)."""
-        p_, _ = last_step_of(np.array([cidx[cons_pid]]),
-                             np.array([node_id], dtype=np.int64))
-        pos = int(p_[0])
-        if pos < 0:
-            return MIDDLE
-        clen = smoothed.get_path_length(cons_pid)
-        if pos < clen // 8:
-            return BEGIN
-        if pos < clen - clen // 8:
-            return MIDDLE
-        return END
+        return int(consensus_part_batch(
+            np.array([cons_pid]), np.array([node_id], dtype=np.int64))[0])
 
     # ---- link candidate emission (reference: :314-450) ----
     # The reference's per-step state machine collapses to per-emission
@@ -247,13 +258,24 @@ def create_consensus_graph(
         else:
             same = jump_arr = np.zeros(0, dtype=np.int64)
             emit_idx = []
-        part = consensus_part(int(acur[0]), int(anid[0]))
-        for i in emit_idx:
+        if not emit_idx:
+            continue
+        # batch every consensus_part lookup this path's emissions need:
+        # the "part" carried into emission i is the part at the previous
+        # emission's anchor (or the path's first anchor), and the
+        # orientation-swap test needs part_b/part_e per emission
+        ei = np.asarray(emit_idx, dtype=np.int64)
+        carry_i = np.concatenate(([0], ei[:-1]))
+        part_arr = consensus_part_batch(acur[carry_i], anid[carry_i])
+        pb_arr = consensus_part_batch(acur[ei - 1], aS[ei - 1] >> 1)
+        pe_arr = consensus_part_batch(acur[ei], aS[ei] >> 1)
+        for n_e, i in enumerate(emit_idx):
             from_cons = int(acur[i - 1])
             cur = int(acur[i])
             begin = int(aranks[i - 1])
             end_r = int(aranks[i])
             jump = int(jump_arr[i - 1]) if same[i - 1] else 0
+            part = int(part_arr[n_e])
             lk = LinkPath(from_cons, part, cur, part, pid=pid,
                           begin=begin, end=end_r)
             seq = smoothed.range_seq(pid, begin + 1, end_r)
@@ -266,14 +288,13 @@ def create_consensus_graph(
                 f"{lk.to_cons}_{lk.to_part}_{he >> 1}_"
                 f"{lk.length}_{lk.jump_length}_{seq}")
             rev_b, rev_e = bool(hb & 1), bool(he & 1)
-            part_b = consensus_part(lk.from_cons, hb >> 1)
-            part_e = consensus_part(lk.to_cons, he >> 1)
+            part_b = int(pb_arr[n_e])
+            part_e = int(pe_arr[n_e])
             if (rev_b and rev_e) or ((rev_b or rev_e)
                                      and (hb >> 1, part_b) > (he >> 1, part_e)):
                 lk.from_cons, lk.to_cons = lk.to_cons, lk.from_cons
                 lk.from_part, lk.to_part = lk.to_part, lk.from_part
             links.append(lk)
-            part = consensus_part(cur, int(anid[i]))
 
     consensus_links: list[LinkPath] = []
     perfect_edges: list[tuple[int, int]] = []
@@ -287,46 +308,49 @@ def create_consensus_graph(
                 groups[-1].append(lk)
             else:
                 groups.append([lk])
-        for grp in groups:
-            _compute_link_paths(smoothed, grp, min_allele_length,
-                                max_allele_length, consensus_links,
-                                perfect_edges)
+        # groups are independent (group-local seen set + rank counter;
+        # outputs re-sorted below), so they fan over the worker pool at
+        # scale — the reference OMPs this loop
+        # (src/consensus_graph.cpp:709).  Below GROUP_POOL_MIN the
+        # vectorized serial pass is sub-second (8x-DRB1: 296 groups in
+        # ~0.05 s) and worker startup + index shipping would dominate.
+        if (threads > 1 and smoothed_gfa is not None
+                and len(groups) >= GROUP_POOL_MIN):
+            from ..utils.procpool import chunked, get_pool
+            pool = get_pool(threads)
+            futs = [pool.submit(_link_groups_chunk, smoothed_gfa, ch,
+                                min_allele_length, max_allele_length)
+                    for ch in chunked(groups, max(
+                        1, (len(groups) + 4 * threads - 1) // (4 * threads)))]
+            for f in futs:
+                cl, pe = f.result()
+                consensus_links.extend(cl)
+                perfect_edges.extend(pe)
+        else:
+            seen_epoch = np.zeros(smoothed.n_nodes + 1, dtype=np.int32)
+            for ep, grp in enumerate(groups, start=1):
+                _compute_link_paths(smoothed, grp, min_allele_length,
+                                    max_allele_length, consensus_links,
+                                    perfect_edges, seen_epoch, ep)
 
     consensus_links.sort(key=LinkPath.sort_key)
 
     # ---- build the output graph (reference: :744-998) ----
     cg = MutableGraph()
-    link_seen: set[int] = set()
+    # "seen by the growing consensus graph" as an epoch array: epoch 1 =
+    # seen, vectorized by _novel_stats exactly like the group-local sets
+    link_seen = np.zeros(smoothed.n_nodes + 1, dtype=np.int32)
 
     for pid in cons_pids:
         out_pid = cg.create_path(smoothed.get_path_name(pid))
-        for h in smoothed.path_steps[pid]:
+        st = np.asarray(smoothed.path_steps[pid], dtype=np.int64)
+        link_seen[st >> 1] = 1
+        for h in st:
             h = int(h)
             nid = h >> 1
-            link_seen.add(nid)
             if not cg.has_node(nid):
                 cg.create_handle(smoothed.get_sequence(h & ~1), nid)
             cg.append_step(out_pid, h)
-
-    def novel_bp_of(lk) -> int:
-        tot = 0
-        for r in range(lk.begin, lk.end):
-            h = int(smoothed.path_steps[lk.pid][r])
-            if (h >> 1) not in link_seen:
-                tot += smoothed.get_length(h)
-        return tot
-
-    def largest_gap_of(lk) -> int:
-        run = 0
-        best = 0
-        for r in range(lk.begin, lk.end):
-            h = int(smoothed.path_steps[lk.pid][r])
-            if (h >> 1) not in link_seen:
-                run += smoothed.get_length(h)
-            else:
-                best = max(best, run)
-                run = 0
-        return max(best, run)
 
     cons_names_by_pid = {p: smoothed.get_path_name(p) for p in cons_pids}
     for link in consensus_links:
@@ -334,18 +358,18 @@ def create_consensus_graph(
             continue
         steps = smoothed.path_steps[link.pid]
         pieces: list[tuple[int, int]] = []
-        novel_bp = novel_bp_of(link)
+        novel_bp, gap_bp = _novel_stats(smoothed, link, link_seen, 1)
         if link.length > novel_bp:
             # partially redundant: keep only the novel prefix/suffix pieces,
             # and only when one novel run dominates (reference: :869-891)
-            if largest_gap_of(link) > 0.95 * link.length:
+            if gap_bp > 0.95 * link.length:
                 s = link.begin + 1
-                while s < link.end and (int(steps[s]) >> 1) not in link_seen:
+                while s < link.end and not link_seen[int(steps[s]) >> 1]:
                     s += 1
                 if s > link.begin + 1:
                     pieces.append((link.begin, s))
                 e = link.end - 1
-                while e > link.begin and (int(steps[e]) >> 1) not in link_seen:
+                while e > link.begin and not link_seen[int(steps[e]) >> 1]:
                     e -= 1
                 if e + 1 < link.end:
                     pieces.append((e, link.end))
@@ -360,10 +384,11 @@ def create_consensus_graph(
             step_count = 0
             # interior steps of the piece, (b, e) exclusive
             # (reference: :913-934)
+            if e > b + 1:
+                link_seen[np.asarray(steps[b + 1:e], dtype=np.int64) >> 1] = 1
             for rr in range(b + 1, e):
                 h = int(steps[rr])
                 nid = h >> 1
-                link_seen.add(nid)
                 if not cg.has_node(nid):
                     cg.create_handle(smoothed.get_sequence(h & ~1), nid)
                 cg.append_step(out_pid, h)
@@ -418,9 +443,38 @@ def create_consensus_graph(
     return cg
 
 
+def _novel_stats(smoothed, lk, seen_epoch, epoch):
+    """(novel bp, largest contiguous novel run bp) over the link's interior
+    steps, one vectorized pass — the two walks of the reference's filter
+    (src/consensus_graph.cpp:620-656) share the same seen set, so one
+    mask serves both."""
+    hs = np.asarray(smoothed.path_steps[lk.pid][lk.begin:lk.end],
+                    dtype=np.int64)
+    if not len(hs):
+        return 0, 0
+    nid = hs >> 1
+    lens = smoothed.node_len[nid - 1]
+    novel = seen_epoch[nid] != epoch
+    x = np.where(novel, lens, 0)
+    total = int(x.sum())
+    if total == 0:
+        return 0, 0
+    # largest weighted run of consecutive novel steps: c - (running max of
+    # c at non-novel positions) is the current run length at every index
+    c = np.cumsum(x)
+    base = np.maximum.accumulate(np.where(~novel, c, 0))
+    return total, int((c - base).max())
+
+
 def _compute_link_paths(smoothed, links, min_allele_length, max_allele_length,
-                        consensus_links, perfect_edges):
-    """reference: compute_link_paths, src/consensus_graph.cpp:544-690."""
+                        consensus_links, perfect_edges,
+                        seen_epoch=None, epoch=1):
+    """reference: compute_link_paths, src/consensus_graph.cpp:544-690.
+
+    seen_epoch/epoch: a shared int32 per-node scratch array — a node is
+    "seen" for this group iff seen_epoch[node] == epoch.  Callers looping
+    over groups pass one array and bump epoch per group (O(1) reset);
+    standalone calls allocate locally."""
     hash_counts: dict[int, int] = {}
     unique: list[LinkPath] = []
     for lk in links:
@@ -430,7 +484,8 @@ def _compute_link_paths(smoothed, links, min_allele_length, max_allele_length,
         hash_counts[lk.hash] = c + 1
     unique.sort(key=lambda a: (hash_counts[a.hash],) + a.sort_key(), reverse=True)
     best = unique[0]
-    seen_nodes: set[int] = set()
+    if seen_epoch is None:
+        seen_epoch = np.zeros(smoothed.n_nodes + 1, dtype=np.int32)
     perfect_edge_count = 0
 
     def link_cons_end(pid: int, at_back: bool, go_rev: bool, target_pid: int):
@@ -445,8 +500,8 @@ def _compute_link_paths(smoothed, links, min_allele_length, max_allele_length,
                 if p == target_pid:
                     pair = (ch, n) if not go_rev else (n, ch)
                     perfect_edges.append(pair)
-                    seen_nodes.add(ch >> 1)
-                    seen_nodes.add(n >> 1)
+                    seen_epoch[ch >> 1] = epoch
+                    seen_epoch[n >> 1] = epoch
                     perfect_edge_count += 1
 
     a = (best.from_cons, best.from_part)
@@ -459,31 +514,13 @@ def _compute_link_paths(smoothed, links, min_allele_length, max_allele_length,
                     link_cons_end(path_a, at_back, go_rev, path_b)
 
     for pid in {a[0], b[0]}:
-        for h in smoothed.path_steps[pid]:
-            seen_nodes.add(int(h) >> 1)
-
-    def novel_len(lk):
-        tot = 0
-        for r in range(lk.begin, lk.end):
-            h = int(smoothed.path_steps[lk.pid][r])
-            if (h >> 1) not in seen_nodes:
-                tot += smoothed.get_length(h)
-        return tot
-
-    def largest_gap(lk):
-        run = best_g = 0
-        for r in range(lk.begin, lk.end):
-            h = int(smoothed.path_steps[lk.pid][r])
-            if (h >> 1) not in seen_nodes:
-                run += smoothed.get_length(h)
-            else:
-                best_g = max(best_g, run)
-                run = 0
-        return max(best_g, run)
+        st = np.asarray(smoothed.path_steps[pid], dtype=np.int64)
+        seen_epoch[st >> 1] = epoch
 
     def mark(lk):
-        for r in range(lk.begin, lk.end):
-            seen_nodes.add(int(smoothed.path_steps[lk.pid][r]) >> 1)
+        hs = np.asarray(smoothed.path_steps[lk.pid][lk.begin:lk.end],
+                        dtype=np.int64)
+        seen_epoch[hs >> 1] = epoch
 
     link_rank = 0
     diff_consensi = a != b
@@ -500,8 +537,7 @@ def _compute_link_paths(smoothed, links, min_allele_length, max_allele_length,
                 consensus_links.append(lk)
                 mark(lk)
         else:
-            gap_bp = largest_gap(lk)
-            novel_bp = novel_len(lk)
+            novel_bp, gap_bp = _novel_stats(smoothed, lk, seen_epoch, epoch)
             if lk.length == 0 and diff_consensi:
                 perfect_edges.append((int(steps[lk.begin]), int(steps[lk.end])))
             elif lk.length == novel_bp and (
@@ -514,6 +550,38 @@ def _compute_link_paths(smoothed, links, min_allele_length, max_allele_length,
                 link_rank += 1
                 consensus_links.append(lk)
                 mark(lk)
+
+
+_WORKER_IDX_CACHE: dict = {}
+
+
+def _worker_index(smoothed_gfa: str):
+    """Per-worker FlatIndex cache: a pool worker serving many group
+    chunks of the same spec reads the smoothed GFA once."""
+    idx = _WORKER_IDX_CACHE.get(smoothed_gfa)
+    if idx is None:
+        from ..graph.index import FlatIndex
+        from ..io.gfa import read_gfa
+        idx = FlatIndex(read_gfa(smoothed_gfa))
+        _WORKER_IDX_CACHE.clear()
+        _WORKER_IDX_CACHE[smoothed_gfa] = idx
+    return idx
+
+
+def _link_groups_chunk(smoothed_gfa: str, groups, min_allele_length: int,
+                       max_allele_length: int):
+    """Worker entry: run _compute_link_paths over a chunk of link groups.
+    Groups are independent (group-local seen set and rank counter), and
+    per-group outputs concatenate in group order, so chunked results are
+    byte-identical to the serial pass."""
+    idx = _worker_index(smoothed_gfa)
+    consensus_links: list[LinkPath] = []
+    perfect_edges: list[tuple[int, int]] = []
+    seen_epoch = np.zeros(idx.n_nodes + 1, dtype=np.int32)
+    for ep, grp in enumerate(groups, start=1):
+        _compute_link_paths(idx, grp, min_allele_length, max_allele_length,
+                            consensus_links, perfect_edges, seen_epoch, ep)
+    return consensus_links, perfect_edges
 
 
 def _spec_names(spec: ConsensusSpec,
@@ -533,9 +601,8 @@ def _build_one_spec(smoothed_gfa: str, spec: ConsensusSpec,
     graph, write `<displayname>.gfa` under outdir (passed explicitly —
     pool workers keep the cwd they were spawned with, not the caller's)."""
     import os
-    from ..graph.index import FlatIndex
-    from ..io.gfa import read_gfa, write_gfa
-    idx = FlatIndex(read_gfa(smoothed_gfa))
+    from ..io.gfa import write_gfa
+    idx = _worker_index(smoothed_gfa)
     cg = create_consensus_graph(
         idx, _spec_names(spec, consensus_path_names),
         spec.min_allele_len, spec.max_allele_len,
@@ -551,7 +618,10 @@ def build_consensus_specs(smoothed_gfa: str, specs: list[ConsensusSpec],
     """Build every spec's consensus graph (reference: the -C loop,
     src/main.cpp:986-1034).  Specs are independent, so -t fans them over
     the worker pool (each worker re-reads the smoothed GFA — cheaper than
-    pickling a FlatIndex); serial path shares one index."""
+    pickling a FlatIndex); serial path shares one index.  Within a spec,
+    the link-group stage additionally fans over the pool at scale (see
+    create_consensus_graph; reference OMPs the group loop,
+    src/consensus_graph.cpp:709)."""
     if threads > 1 and len(specs) > 1:
         import os
         from ..utils.procpool import get_pool
@@ -568,7 +638,8 @@ def build_consensus_specs(smoothed_gfa: str, specs: list[ConsensusSpec],
         cg = create_consensus_graph(
             idx, _spec_names(spec, consensus_path_names),
             spec.min_allele_len, spec.max_allele_len,
-            spec.min_consensus_path_cov)
+            spec.min_consensus_path_cov,
+            threads=threads, smoothed_gfa=smoothed_gfa)
         outname = displayname(spec) + ".gfa"
         write_gfa(cg, outname)
         out.append(outname)

@@ -58,3 +58,27 @@ def test_no_consensus_paths_returns_empty():
     idx = FlatIndex(build_graph_with_variant())
     cg = create_consensus_graph(idx, ["nope"], 10, 1000)
     assert cg.node_count() == 0
+
+
+def test_pooled_link_groups_byte_identical(tmp_path, monkeypatch):
+    """Fanning link groups over the worker pool (threads>1 at scale) must
+    be byte-identical to the serial pass (reference OMPs the group loop,
+    src/consensus_graph.cpp:709)."""
+    import smoothxg_tpu.pipeline.consensus_graph as CG
+    from smoothxg_tpu.io.gfa import write_gfa
+
+    g = build_graph_with_variant(allele_len=500, ref_len=300)
+    idx = FlatIndex(g)
+    gfa = str(tmp_path / "smoothed.gfa")
+    write_gfa(g, gfa)
+
+    serial = create_consensus_graph(idx, ["Consensus_0"], 100, 10000)
+    monkeypatch.setattr(CG, "GROUP_POOL_MIN", 1)
+    pooled = create_consensus_graph(idx, ["Consensus_0"], 100, 10000,
+                                    threads=2, smoothed_gfa=gfa)
+    s_out = str(tmp_path / "serial.gfa")
+    p_out = str(tmp_path / "pooled.gfa")
+    write_gfa(serial, s_out)
+    write_gfa(pooled, p_out)
+    with open(s_out, "rb") as f1, open(p_out, "rb") as f2:
+        assert f1.read() == f2.read()
