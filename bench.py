@@ -126,6 +126,28 @@ def main() -> int:
         return 1
     ensure_backend()
 
+    # Fused Pallas kernel: whole multi-sequence POA per block inside one
+    # kernel dispatch per batch of 64 blocks
+    # host pool (redo/fallback + finalize) uses all cores — mirrors the
+    # reference's OMP-parallel host stages; the single-thread CPU baseline
+    # below stays threads=1
+    nthreads = os.cpu_count() or 1
+    t_cold = time.time()
+    engine = FusedPallasEngine(threads=nthreads)
+    # kernel compiles overlap the graph build below — exactly what the
+    # CLI does (warmup_async + prep/index/block-finding); the compile
+    # time a cold user actually pays is the BLOCKED residual after the
+    # unavoidable pipeline work, reported as warmup_compile_s (the
+    # overlap-hidden part is warmup_hidden_s, total in cold_total_s).
+    # Only the LW<=2048 full-width family is on the headline cold path —
+    # the tiers a `-l 700` run routes to; the big-LW and banded tiers
+    # warm later, before the -l 4000 extras that need them.
+    fam2k = tuple(ti for ti, t in enumerate(engine.tiers)
+                  if t[2] <= 2048 and t[3] >= t[2])
+    fam_rest = tuple(ti for ti in range(len(engine.tiers))
+                     if ti not in fam2k)
+    wt = engine.warmup_async(locals_=(True,), tiers=tuple(reversed(fam2k)))
+
     # ---- build the iteration-1 workload (target 700, the ctest config) ----
     g = read_gfa(REF_GFA)
     g = prep(g, 100, use_sgd=True)
@@ -134,17 +156,10 @@ def main() -> int:
     bs = smoothable_blocks(idx, target * 12, target, 5000, 5000)
     bs = break_blocks(idx, bs, max_poa_length=2 * target)
     params = POAParams(local=True)
-
-    # Fused Pallas kernel: whole multi-sequence POA per block inside one
-    # kernel dispatch per batch of 64 blocks
-    # host pool (redo/fallback + finalize) uses all cores — mirrors the
-    # reference's OMP-parallel host stages; the single-thread CPU baseline
-    # below stays threads=1
-    nthreads = os.cpu_count() or 1
-    engine = FusedPallasEngine(threads=nthreads)
-    t0 = time.time()
-    engine.warmup(locals_=(True,))
-    prewarm_s = time.time() - t0
+    build_done = time.time()
+    wt.join()
+    prewarm_s = time.time() - build_done          # blocked residual
+    warmup_hidden_s = build_done - t_cold
 
     # throughput workload: the DRB1 blockset replicated 16x — per-chip
     # blocks/s for batched independent block POA, the unit that
@@ -164,6 +179,7 @@ def main() -> int:
     t0 = time.time()
     run_once(engine, bs, nthreads)  # warmup: residual variant compiles
     warmup_s = time.time() - t0 + prewarm_s
+    cold_total_s = time.time() - t_cold
 
     # four measured passes: pass 0 absorbs lazy D2H-slicer-tier compiles
     # and trains the steal-balance EMAs (device + host pool rates measured
@@ -214,6 +230,16 @@ def main() -> int:
         extras["device_only_smooth_s"] = round(dev_only_s, 2)
     except Exception as e:              # pragma: no cover - tunnel loss
         extras["device_only_error"] = str(e)[:120]
+
+    # warm the big-LW and banded tiers the -l 4000 extras route to (off
+    # the headline cold path: a -l 700 user never compiles these)
+    t0 = time.time()
+    try:
+        engine.warmup(locals_=(True,), tiers=fam_rest)
+    except Exception:                  # pragma: no cover - tunnel loss
+        pass
+    extras["warmup_extras_s"] = round(time.time() - t0, 1)
+    eng_dev._warm_keys |= engine._warm_keys   # same-process jit cache
 
     # default-flags configuration (-l 4000, the reference's default
     # poa-length-target): the long-block policy aligns these blocks with
@@ -292,6 +318,9 @@ def main() -> int:
             round(native_bps, 3) if native_bps else None,
         "cpu_numpy_blocks_per_s": round(numpy_bps, 3),
         "warmup_compile_s": round(warmup_s, 1),
+        "warmup_hidden_s": round(warmup_hidden_s, 1),
+        "cold_total_s": round(cold_total_s, 1),
+        "dev_block_rows_per_s": st["dev_block_rows_per_s"],
         "e2e_1iter_warm_s": (round(e2e_1iter_s, 2)
                              if e2e_1iter_s is not None else None),
         "device_blocks": st["device_blocks"],

@@ -999,9 +999,21 @@ class FusedPallasEngine:
     # 21/24) while only 11/24 fit the K4 tier's 2176 budget — K3xVW2944
     # is the largest (K, VW) with K >= 3 under the ~110 MB scoped-VMEM
     # plane budget (K*VW*W*6 B; see ops/poa_pallas_win.py).
+    # The (1, 6144, 3072) tier serves mid-length high-V FULL-WIDTH blocks
+    # (maxlen 2048..3071, est V to 6144) that previously fell to the host
+    # pool: measured on the default `-l 4000` DRB1 blockset, block [2]
+    # (maxL 2825, true V 5720) and the l1100 big block (maxL 2895, true V
+    # 4400) land exactly there (tools/probe_blockstats.py).  Candidate
+    # higher-K tiers with narrower windows (K6xV2176xW1408 etc.) were
+    # measured and REJECTED: a window stride that is not a multiple of 8
+    # sublanes costs ~2.4x per grid row (154k vs 340-400k rows/s,
+    # tools/probe_tierisolate.py) — Mosaic realigns every dynamic slab
+    # read — which eats the extra stacking; under the ~115 MB scoped-VMEM
+    # budget the aligned-stride full-width family below is optimal.
     TIERS = ((4, 2176, 2048, 2048), (3, 2944, 2048, 2048),
              (2, 4352, 2048, 2048),
-             (1, 8704, 2048, 2048), (1, 4352, 4096, 4096),
+             (1, 8704, 2048, 2048), (1, 6144, 3072, 3072),
+             (1, 4352, 4096, 4096),
              (1, 5888, 10240, 3072))
     ROUTE_MARGIN = 0.85   # legacy est scale (kept for compat callers)
     GROWTH_CAL = 0.65     # growth-term calibration (see _route); at 0.65
@@ -1195,9 +1207,15 @@ class FusedPallasEngine:
         return nat, dev
 
     def _select_steal(self, blocks, dev: dict) -> list[int]:
-        """Pick device-eligible blocks for the host pool, cheapest native
-        cost first, while the pool's estimated time stays under the
-        device's estimated time for the remainder.  Mutates dev's lists."""
+        """Pick device-eligible blocks for the host pool while the pool's
+        estimated time stays under the device's estimated time for the
+        remainder.  Candidates are taken by DESCENDING device-rows-freed
+        per host-cell-spent (du/nat — the fractional-knapsack order): a
+        K1-tier block frees K times the device rows of an equally-sized
+        K4-stacked block, so the low-K stragglers that set the device
+        wall leave first and the well-stacked bulk stays on the chip
+        (round-4's cheapest-native-first order stole exactly the K4
+        blocks and skewed the tier histogram).  Mutates dev's lists."""
         w_eff = max(1, self.threads - 1)   # one worker stays on finalize
         host_ps = self._host_cells_ps * w_eff
         cand = []
@@ -1205,17 +1223,19 @@ class FusedPallasEngine:
         for key, idxs in dev.items():
             for i in idxs:
                 nat, du = self._steal_costs(blocks[i][0], key[2])
-                cand.append((nat, du, i, key))
+                cand.append((du / max(nat, 1.0), nat, du, i, key))
                 dev_total += du
-        cand.sort(key=lambda t: t[0])
+        cand.sort(key=lambda t: t[0], reverse=True)
         host_t = 0.0
         stolen: list[int] = []
         drop: set[int] = set()
-        for nat, du, i, key in cand:
+        for _, nat, du, i, key in cand:
             t_host = host_t + nat / host_ps
             t_dev = (dev_total - du) / self._dev_rows_ps
             if t_host > t_dev:
-                break
+                # this candidate would overfill the host lane; a smaller
+                # later candidate may still fit
+                continue
             host_t = t_host
             dev_total -= du
             stolen.append(i)
@@ -1312,11 +1332,17 @@ class FusedPallasEngine:
         import threading
 
         if tiers is None:
-            # largest-capacity FULL-WIDTH tiers first (the cold-start
-            # collapse target), banded-window long tiers last (rare)
+            # the common LW<=2048 full-width family first, largest
+            # capacity first (its top tier is the cold-start collapse
+            # target: once compiled, every `-l <= 2000` block can
+            # dispatch via promotion), then the rare big-LW full-width
+            # tiers, banded-window long tiers last
             fw = [ti for ti, t in enumerate(self.tiers) if t[3] >= t[2]]
             lg = [ti for ti, t in enumerate(self.tiers) if t[3] < t[2]]
-            tiers = tuple(reversed(fw)) + tuple(lg)
+            fw2k = [ti for ti in fw if self.tiers[ti][2] <= 2048]
+            fwbig = [ti for ti in fw if self.tiers[ti][2] > 2048]
+            tiers = (tuple(reversed(fw2k)) + tuple(reversed(fwbig))
+                     + tuple(lg))
         t = threading.Thread(target=self.warmup,
                              args=(locals_, banded, tiers), daemon=True)
         t.start()
