@@ -146,7 +146,13 @@ def main() -> int:
                   if t[2] <= 2048 and t[3] >= t[2])
     fam_rest = tuple(ti for ti in range(len(engine.tiers))
                      if ti not in fam2k)
-    wt = engine.warmup_async(locals_=(True,), tiers=tuple(reversed(fam2k)))
+    # cold path blocks ONLY on the family's collapse target (its largest
+    # tier): once that is up every block can dispatch via promotion, and
+    # the remaining tiers compile behind the first pass — the CLI's
+    # warmup_async + _promote_tier flow (compiles do NOT parallelize
+    # across threads: tools/probe_parwarm.py measured seq 6.8 s vs par
+    # 9.7 s for the same four tiers, so overlap-with-work is the lever)
+    wt = engine.warmup_async(locals_=(True,), tiers=(fam2k[-1],))
 
     # ---- build the iteration-1 workload (target 700, the ctest config) ----
     g = read_gfa(REF_GFA)
@@ -176,10 +182,15 @@ def main() -> int:
                              consensus_base_name="", produce_maf=False,
                              engine=eng, threads=threads)
 
+    # the smaller (more-stacked) tiers compile behind the first pass;
+    # blocks promote to the compiled top tier meanwhile
+    wt2 = engine.warmup_async(locals_=(True,),
+                              tiers=tuple(reversed(fam2k[:-1])))
     t0 = time.time()
     run_once(engine, bs, nthreads)  # warmup: residual variant compiles
-    warmup_s = time.time() - t0 + prewarm_s
-    cold_total_s = time.time() - t_cold
+    warmup_s = time.time() - t0 + prewarm_s   # time-to-first-results cost
+    wt2.join()
+    cold_total_s = time.time() - t_cold       # everything, incl. hidden
 
     # four measured passes: pass 0 absorbs lazy D2H-slicer-tier compiles
     # and trains the steal-balance EMAs (device + host pool rates measured

@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     bs.add_argument("-L", "--min-seq-len-mash", default="200")
     bs.add_argument("-E", "--block-est-id-max", type=float, default=None)
     bs.add_argument("-k", "--kmer-size-mash-distance", type=int, default=17)
+    bs.add_argument("--device-split-minhash", action="store_true",
+                    help="compute split-stage mash distances as one "
+                         "batched all-pairs pass on the TPU (uint32 hash "
+                         "space, k clamped to 16; ops/minhash_jax)")
 
     poa = p.add_argument_group("POA")
     poa.add_argument("-p", "--poa-params", default="1,4,6,2,26,1")
@@ -183,6 +187,7 @@ def main(argv=None) -> int:
             min_length_mash_based_clustering=int(
                 handy_parameter(args.min_seq_len_mash, 200)),
             kmer_size=args.kmer_size_mash_distance,
+            device_split_minhash=args.device_split_minhash,
             poa_params=_parse_poa_params(args.poa_params, args.abpoa),
             adaptive_poa_params=args.adaptive_poa_params,
             poa_length_targets=[int(handy_parameter(x, 4000))

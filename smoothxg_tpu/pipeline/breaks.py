@@ -52,6 +52,7 @@ def break_blocks(
     break_repeats: bool = True,
     write_split_blocks_dir: str = "",
     threads: int = 1,
+    device_minhash: bool = False,
 ) -> Blockset:
     kw = dict(
         max_poa_length=max_poa_length, min_copy_length=min_copy_length,
@@ -66,8 +67,14 @@ def break_blocks(
         kmer_size=kmer_size,
         min_dedup_depth_split=min_dedup_depth_for_block_splitting,
         min_dedup_depth_mash=min_dedup_depth_for_mash_clustering,
+        device_minhash=device_minhash,
     )
     blocks = list(blockset)
+    if device_minhash and threads > 1:
+        # pool workers must not contend for the single-client TPU
+        # tunnel: the device split route runs the block loop serially on
+        # the main process (the device batches the O(n^2) work instead)
+        threads = 1
     if threads > 1 and len(blocks) >= 2 * threads:
         # reference: OMP parallel block loop + ordered writer thread
         # (src/breaks.cpp:198); chunk order preserves block order here
@@ -130,6 +137,7 @@ def _break_one(idx, block, kw) -> tuple[list[Block], int, int]:
         kmer_size=kw["kmer_size"],
         min_dedup_depth_split=kw["min_dedup_depth_split"],
         min_dedup_depth_mash=kw["min_dedup_depth_mash"],
+        device_minhash=kw.get("device_minhash", False),
     )
     return splits, counters[0], counters[1]
 
@@ -200,7 +208,8 @@ def _cut_block(idx, block, max_poa_length, min_copy_length, max_copy_length,
 
 def _split_block(idx, block, *, length_ratio_min, min_length_mash,
                  block_group_identity, block_group_est_identity, kmer_size,
-                 min_dedup_depth_split, min_dedup_depth_mash) -> list[Block]:
+                 min_dedup_depth_split, min_dedup_depth_mash,
+                 device_minhash=False) -> list[Block]:
     if not ((block_group_identity > 0 or block_group_est_identity > 0)
             and len(block.path_ranges) > 1):
         return [block]
@@ -231,7 +240,20 @@ def _split_block(idx, block, *, length_ratio_min, min_length_mash,
 
     mash_enabled = (min_length_mash > 0
                     and (min_dedup_depth_mash == 0 or len(seqs) >= min_dedup_depth_mash))
-    hashes = [kmer_hashes(s, kmer_size) if (mash_enabled and len(s) >= min_length_mash)
+    dmat = None
+    if device_minhash and mash_enabled:
+        # device route: ALL pairwise mash distances in one batched device
+        # pass (uint32 hash space, k clamped to 16 — see ops/minhash_jax);
+        # the greedy clusterer below then reads the matrix, so its
+        # decisions are deterministic regardless of iteration order
+        el = np.array([len(s) >= min_length_mash for s in seqs])
+        if int(el.sum()) >= 2:
+            from ..ops.minhash_jax import DeviceMinHash
+            dmat = DeviceMinHash(k=min(16, kmer_size)).distance_matrix(
+                seqs, el)
+    hashes = [kmer_hashes(s, kmer_size)
+              if (dmat is None and mash_enabled
+                  and len(s) >= min_length_mash)
               else None for s in seqs]
 
     groups: list[list[int]] = [[0]]
@@ -254,7 +276,11 @@ def _split_block(idx, block, *, length_ratio_min, min_length_mash,
                             and len(other) >= min_length_mash):
                         if not fwd_pass:
                             continue  # mash is strand-canonical already
-                        d = mash_distance(hashes[i], hashes[o], kmer_size)
+                        if dmat is not None:
+                            d = dmat[i, o]
+                        else:
+                            d = mash_distance(hashes[i], hashes[o],
+                                              kmer_size)
                         if 1.0 - d >= block_group_est_identity:
                             best_group, found = j, True
                             break

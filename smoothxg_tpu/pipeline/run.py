@@ -49,6 +49,9 @@ class Config:
     min_dedup_depth_for_mash_clustering: int = 12000
     min_length_mash_based_clustering: int = 200
     kmer_size: int = 17
+    # device route for the split-stage mash distances (ops/minhash_jax):
+    # all-pairs matrix on the TPU, uint32 hash space, k clamped to 16
+    device_split_minhash: bool = False
     # POA
     poa_params: tuple = (1, 4, 6, 2, 26, 1)
     adaptive_poa_params: bool = False
@@ -252,7 +255,8 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                 min_dedup_depth_for_block_splitting=cfg.min_dedup_depth_for_block_splitting,
                 min_dedup_depth_for_mash_clustering=cfg.min_dedup_depth_for_mash_clustering,
                 write_split_blocks_dir=(tmpdir if cfg.write_split_blocks else ""),
-                threads=cfg.threads)
+                threads=cfg.threads,
+                device_minhash=cfg.device_split_minhash)
 
         m, n, gp, e, q, c = cfg.poa_params
         # abPOA mode always aligns adaptively banded (reference:
