@@ -285,12 +285,22 @@ def main() -> int:
         t0 = time.time()
         run_once(NativePOAEngine(threads=nthreads), big4k, nthreads)
         l4k_host_s = time.time() - t0
+        # cooperative lane — the production config: steal balancer
+        # splits the bucket between chip and pool (the two blocks that
+        # are provably host-only at v5e VMEM dominate every lane on this
+        # fixture; see PARITY.md "The -l 4000 device population")
+        t0 = time.time()
+        run_once(engine, big4k, nthreads)
+        l4k_coop_s = time.time() - t0
         extras.update({
             "l4000x16_device_s": round(l4k_dev_s, 2),
             "l4000x16_device_blocks": eng_dev.device_blocks - d1,
             "l4000x16_hostpool_s": round(l4k_host_s, 2),
+            "l4000x16_coop_s": round(l4k_coop_s, 2),
             "l4000_device_speedup_vs_hostpool":
                 round(l4k_host_s / l4k_dev_s, 2) if l4k_dev_s else None,
+            "l4000_coop_speedup_vs_hostpool":
+                round(l4k_host_s / l4k_coop_s, 2) if l4k_coop_s else None,
         })
     except Exception as e:              # pragma: no cover - tunnel loss
         extras["l4000_error"] = str(e)[:120]
