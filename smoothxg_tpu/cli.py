@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="compute split-stage mash distances as one "
                          "batched all-pairs pass on the TPU (uint32 hash "
                          "space, k clamped to 16; ops/minhash_jax)")
+    bs.add_argument("--device-split-wfa", action="store_true",
+                    help="compute split-stage alignment identities as "
+                         "one batched banded counts-carrying DP pass on "
+                         "the TPU (ops/ident_jax)")
 
     poa = p.add_argument_group("POA")
     poa.add_argument("-p", "--poa-params", default="1,4,6,2,26,1")
@@ -188,6 +192,7 @@ def main(argv=None) -> int:
                 handy_parameter(args.min_seq_len_mash, 200)),
             kmer_size=args.kmer_size_mash_distance,
             device_split_minhash=args.device_split_minhash,
+            device_split_wfa=args.device_split_wfa,
             poa_params=_parse_poa_params(args.poa_params, args.abpoa),
             adaptive_poa_params=args.adaptive_poa_params,
             poa_length_targets=[int(handy_parameter(x, 4000))

@@ -53,6 +53,7 @@ def break_blocks(
     write_split_blocks_dir: str = "",
     threads: int = 1,
     device_minhash: bool = False,
+    device_wfa: bool = False,
 ) -> Blockset:
     kw = dict(
         max_poa_length=max_poa_length, min_copy_length=min_copy_length,
@@ -68,9 +69,10 @@ def break_blocks(
         min_dedup_depth_split=min_dedup_depth_for_block_splitting,
         min_dedup_depth_mash=min_dedup_depth_for_mash_clustering,
         device_minhash=device_minhash,
+        device_wfa=device_wfa,
     )
     blocks = list(blockset)
-    if device_minhash and threads > 1:
+    if (device_minhash or device_wfa) and threads > 1:
         # pool workers must not contend for the single-client TPU
         # tunnel: the device split route runs the block loop serially on
         # the main process (the device batches the O(n^2) work instead)
@@ -138,6 +140,7 @@ def _break_one(idx, block, kw) -> tuple[list[Block], int, int]:
         min_dedup_depth_split=kw["min_dedup_depth_split"],
         min_dedup_depth_mash=kw["min_dedup_depth_mash"],
         device_minhash=kw.get("device_minhash", False),
+        device_wfa=kw.get("device_wfa", False),
     )
     return splits, counters[0], counters[1]
 
@@ -209,7 +212,7 @@ def _cut_block(idx, block, max_poa_length, min_copy_length, max_copy_length,
 def _split_block(idx, block, *, length_ratio_min, min_length_mash,
                  block_group_identity, block_group_est_identity, kmer_size,
                  min_dedup_depth_split, min_dedup_depth_mash,
-                 device_minhash=False) -> list[Block]:
+                 device_minhash=False, device_wfa=False) -> list[Block]:
     if not ((block_group_identity > 0 or block_group_est_identity > 0)
             and len(block.path_ranges) > 1):
         return [block]
@@ -256,6 +259,33 @@ def _split_block(idx, block, *, length_ratio_min, min_length_mash,
                   and len(s) >= min_length_mash)
               else None for s in seqs]
 
+    def _wfa_branch(i, o):
+        """True when comparing seqs[i] vs seqs[o] uses the alignment
+        identity rather than mash (same predicate as the loop below)."""
+        return not (mash_enabled and len(seqs[i]) >= min_length_mash
+                    and len(seqs[o]) >= min_length_mash)
+
+    ident_fwd: dict = {}
+    ident_rev: dict = {}
+    if device_wfa and block_group_identity > 0:
+        # device route: every alignment-identity the greedy loop below
+        # could consult, batched as one banded counts-carrying DP pass
+        # (ops/ident_jax) — fwd and revcomp orientations; per-pair
+        # score bound = len(curr), the host route's max_score
+        from ..ops.ident_jax import DeviceBandedIdentity
+        need = [(i, o) for i in range(1, len(seqs)) for o in range(i)
+                if _wfa_branch(i, o)
+                and len(seqs[o]) / len(seqs[i]) >= length_ratio_min]
+        if need:
+            dev = DeviceBandedIdentity()
+            pf = [(seqs[i], seqs[o]) for i, o in need]
+            prv = [(revcomp(seqs[i]), seqs[o]) for i, o in need]
+            mscores = [len(seqs[i]) for i, _ in need] * 2
+            vals = dev.identities(pf + prv, max_score=mscores)
+            for t, (i, o) in enumerate(need):
+                ident_fwd[(i, o)] = vals[t]
+                ident_rev[(i, o)] = vals[len(need) + t]
+
     groups: list[list[int]] = [[0]]
     one_minus_id = 1.0 - block_group_identity
     for i in range(1, len(seqs)):
@@ -282,6 +312,12 @@ def _split_block(idx, block, *, length_ratio_min, min_length_mash,
                             d = mash_distance(hashes[i], hashes[o],
                                               kmer_size)
                         if 1.0 - d >= block_group_est_identity:
+                            best_group, found = j, True
+                            break
+                    elif ident_fwd or ident_rev:
+                        gid = (ident_fwd if fwd_pass else ident_rev).get(
+                            (i, o), 0.0)
+                        if gid >= block_group_identity > 0:
                             best_group, found = j, True
                             break
                     else:

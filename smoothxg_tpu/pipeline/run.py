@@ -52,6 +52,9 @@ class Config:
     # device route for the split-stage mash distances (ops/minhash_jax):
     # all-pairs matrix on the TPU, uint32 hash space, k clamped to 16
     device_split_minhash: bool = False
+    # device route for the split-stage alignment identities
+    # (ops/ident_jax): banded counts-carrying DP, all pairs batched
+    device_split_wfa: bool = False
     # POA
     poa_params: tuple = (1, 4, 6, 2, 26, 1)
     adaptive_poa_params: bool = False
@@ -256,7 +259,8 @@ def run_smoothing(cfg: Config) -> tuple[str, list[str]]:
                 min_dedup_depth_for_mash_clustering=cfg.min_dedup_depth_for_mash_clustering,
                 write_split_blocks_dir=(tmpdir if cfg.write_split_blocks else ""),
                 threads=cfg.threads,
-                device_minhash=cfg.device_split_minhash)
+                device_minhash=cfg.device_split_minhash,
+                device_wfa=cfg.device_split_wfa)
 
         m, n, gp, e, q, c = cfg.poa_params
         # abPOA mode always aligns adaptively banded (reference:

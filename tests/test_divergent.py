@@ -91,6 +91,51 @@ def test_device_minhash_split_matches_mirror(divergent_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_device_wfa_split_matches_mirror(divergent_path, monkeypatch):
+    """The device banded-identity route (--device-split-wfa) must split
+    EXACTLY like the same greedy clusterer driven by its numpy mirror
+    (bit-parity of the DP is pinned in test_ident_jax); vs the host
+    WFA route the partitions agree loosely (different estimators:
+    banded counts-carrying DP vs adaptive-reduced WFA traceback)."""
+    import smoothxg_tpu.ops.ident_jax as IJ
+    g = prep(read_gfa(divergent_path), 100, use_sgd=True)
+    idx = FlatIndex(g)
+    kw = dict(max_poa_length=1400,
+              block_group_identity=0.95,
+              block_group_est_identity=0.9,
+              min_dedup_depth_for_block_splitting=2)   # mash stays off
+
+    def run(device_wfa):
+        from smoothxg_tpu.pipeline.blocks import Blockset
+        bs = smoothable_blocks(idx, 700 * 24, 700, 5000, 5000)
+        sub = Blockset()          # first blocks only: keeps the test fast
+        for n, b in enumerate(bs):
+            if n >= 6:
+                break
+            sub.add_block(b)
+        out = break_blocks(idx, sub, **kw, device_wfa=device_wfa)
+        part = [tuple((pr.pid, pr.begin, pr.end) for pr in b.path_ranges)
+                for b in out]
+        return out.break_stats, part
+
+    st_dev, part_dev = run(True)
+    monkeypatch.setattr(
+        IJ.DeviceBandedIdentity, "identities",
+        lambda self, pairs, max_score=None: [
+            IJ.host_banded_identity(
+                a, b, band=self.B,
+                max_score=(max_score[i]
+                           if isinstance(max_score, (list, tuple))
+                           else max_score))
+            for i, (a, b) in enumerate(pairs)])
+    st_mir, part_mir = run(True)
+    assert st_dev["split"] > 0
+    assert st_dev == st_mir and part_dev == part_mir
+    st_host, _ = run(False)
+    assert abs(st_host["split"] - st_dev["split"]) <= 2
+
+
+@pytest.mark.slow
 def test_divergent_full_pipeline_oracle(divergent_path, tmp_path):
     from smoothxg_tpu.ops import poa_native
     if not poa_native.available():      # pragma: no cover
