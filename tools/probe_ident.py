@@ -29,13 +29,32 @@ def pairs(n, L, frac=0.06, seed=9):
     return out
 
 
+def rand_pairs(n, L, seed=4):
+    rng = np.random.default_rng(seed)
+
+    def rnd():
+        return "".join("ACGT"[c] for c in rng.integers(0, 4, L))
+
+    return [(rnd(), rnd()) for _ in range(n)]
+
+
 def main():
+    """Measured (2026-08-20, v5e): similar pairs n=1024 L=500 -> host
+    WFA 0.19 s vs device 2.76 s (0.1x: WFA is O(s^2), tiny when pairs
+    match); dissimilar n=256 L=500 -> 1.3x; dissimilar n=256 L=2000 ->
+    72.9x (bounded WFA degenerates to O(L^2) per failed comparison,
+    the banded DP stays O(L*B)).  The device route's domain is the
+    heterogeneous deep block, where most greedy-cluster comparisons
+    FAIL and each failure costs the host route its full score bound."""
     from smoothxg_tpu.ops.ident_jax import DeviceBandedIdentity
     from smoothxg_tpu.ops.wfa import gap_compressed_identity, wfa_align
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 500
-    ps = pairs(n, L)
+    if len(sys.argv) > 3 and sys.argv[3] == "rand":
+        ps = rand_pairs(n, L)
+    else:
+        ps = pairs(n, L)
 
     t0 = time.time()
     host = []
