@@ -58,3 +58,22 @@ def test_cli_index_in(tmp_path):
     for i in range(orig.path_count()):
         name = orig.path_names[i]
         assert g.path_seq(g.get_path(name)) == orig.path_seq(i)
+
+
+def test_cli_device_split_flags(tmp_path):
+    """--device-split-minhash / --device-split-wfa plumb end to end: the
+    run completes with both device split routes enabled (the tiny graph
+    exercises the flag path; split decisions themselves are pinned in
+    test_divergent.py) and every path still reconstructs byte-exactly."""
+    gfa = _write_tiny(tmp_path)
+    out = str(tmp_path / "out.gfa")
+    rc = cli_main(["-g", gfa, "-o", out, "-r", "2", "--engine", "host",
+                   "-I", "0.95", "-E", "0.9", "-d", "2", "-D", "2",
+                   "--device-split-minhash", "--device-split-wfa",
+                   "-b", str(tmp_path)])
+    assert rc == 0
+    g = read_gfa(out)
+    orig = read_gfa(gfa)
+    for i in range(orig.path_count()):
+        name = orig.path_names[i]
+        assert g.path_seq(g.get_path(name)) == orig.path_seq(i)
