@@ -373,8 +373,10 @@ def _outer() -> int:
     last_good = None
     t_start = time.time()
     for attempt in range(3):
-        if attempt and time.time() - t_start > 1500:
+        if attempt and time.time() - t_start > 1200:
             break                # stay inside the driver's bench window
+            # (the inner run grew ~2 min this round: coop l4000 lane +
+            # deferred-tier warmup — so the retry cutoff tightens too)
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True)
         sys.stderr.write(r.stderr[-4000:])
